@@ -1,0 +1,28 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One gated capability: a Spark query builder plus (optionally) the
+  * equivalent ANSI SQL the driver runs in DuckDB as the oracle.
+  *
+  * Numeric policy (keeps the driver's hash-compare order-independent):
+  *   - money sums: sum over decimal(18,2) cast, then cast to double —
+  *     exact in both engines regardless of aggregation order.
+  *   - averages: exact decimal sum / exact count, divided in double.
+  *   - integer sums in DuckDB return HUGEINT; oracles cast to bigint.
+  *   - date-ish group keys are formatted to strings on both sides.
+  */
+final case class Q(
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  /** Read one test table: `{sfDir}/{name}.parquet`. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}
+
+/** A module contributing queries to [[graft.SparkEntry]]. */
+trait QueryModule {
+  def queries: Map[String, Q]
+}

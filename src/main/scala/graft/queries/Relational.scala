@@ -1,0 +1,485 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator inventory (SURVEY.md §2.2, q1–q20).
+  *
+  * Mirrors the SQL surface the reference exercises through dbt models
+  * (reference: dbt/include/parquet/macros/adapters.sql — models are
+  * arbitrary DuckDB SELECTs). Re-expressed with the DataFrame API so
+  * Catalyst handles pushdown / join strategy; every money aggregate
+  * goes through an exact decimal sum (see [[Q]] numeric policy).
+  */
+object Relational extends QueryModule {
+  import Q.t
+
+  /** Exact, order-independent sum of a double column: element-wise cast
+    * to decimal(18,s), exact decimal sum, result as double.
+    */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** DuckDB rendering of [[dsum]]. */
+  private def dsumSql(expr: String, scale: Int = 2): String =
+    s"cast(sum(cast($expr as decimal(18,$scale))) as double)"
+
+  /** Exact average: decimal sum / count — identical IEEE division on
+    * identical operands in both engines.
+    */
+  private def davg(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double") / count(c)
+
+  private def davgSql(expr: String, scale: Int = 2): String =
+    s"cast(sum(cast($expr as decimal(18,$scale))) as double) / count($expr)"
+
+  def queries: Map[String, Q] = Map(
+    // ─── q1: filter → groupBy → multi-agg (TPC-H Q1 shape) ───
+    "q1_agg" -> Q(
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+              .as("sum_disc_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_extendedprice")).as("avg_price"),
+            davg(col("l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+          ${dsumSql("l_quantity")} AS sum_qty,
+          ${dsumSql("l_extendedprice")} AS sum_base_price,
+          ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_disc_price,
+          ${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
+          ${davgSql("l_quantity")} AS avg_qty,
+          ${davgSql("l_extendedprice")} AS avg_price,
+          ${davgSql("l_discount", 4)} AS avg_disc,
+          count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= timestamp '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ─── q2: predicate + projection pushdown ───
+    "q2_filter_project" -> Q(
+      (s, dir) => {
+        t(s, dir, "part")
+          .filter(col("p_size") >= 25 && col("p_type").isin("ECONOMY", "PROMO"))
+          .select(col("p_partkey"), col("p_name"), col("p_brand"),
+            (col("p_retailprice") * lit(1.1)).as("marked_up"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, p_name, p_brand,
+          p_retailprice * 1.1 AS marked_up
+        FROM part
+        WHERE p_size >= 25 AND p_type IN ('ECONOMY', 'PROMO')
+        ORDER BY p_partkey""")),
+
+    // ─── q3: 3-way join + agg + top-k (TPC-H Q3 shape) ───
+    "q3_join_agg" -> Q(
+      (s, dir) => {
+        val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+        val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey,
+          strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+          ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < timestamp '1998-01-01'
+          AND l_shipdate > timestamp '1998-01-01'
+        GROUP BY l_orderkey, orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10""")),
+
+    // ─── q4: EXISTS → left_semi ───
+    "q4_semijoin" -> Q(
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1997-01-01"))
+        val li = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= timestamp '1996-01-01'
+          AND o_orderdate < timestamp '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // ─── q5: star multi-join + agg (TPC-H Q5 shape) ───
+    "q5_multijoin" -> Q(
+      (s, dir) => {
+        val region = t(s, dir, "region").filter(col("r_name") === "REGION_0")
+        val nation = t(s, dir, "nation")
+        val cust = t(s, dir, "customer")
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1998-01-01"))
+        val li = t(s, dir, "lineitem")
+        val sup = t(s, dir, "supplier")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some(s"""SELECT n_name,
+          ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'REGION_0'
+          AND o_orderdate >= timestamp '1996-01-01'
+          AND o_orderdate < timestamp '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name""")),
+
+    // ─── q6: selective range filter + arithmetic agg (TPC-H Q6) ───
+    "q6_cond_agg" -> Q(
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1997-01-01") &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24)
+          .agg(dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(s"""SELECT ${dsumSql("l_extendedprice * l_discount", 4)} AS revenue,
+          count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= timestamp '1996-01-01'
+          AND l_shipdate < timestamp '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""")),
+
+    // ─── q7: NOT EXISTS → left_anti ───
+    "q7_antijoin" -> Q(
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val ord = t(s, dir, "orders").filter(col("o_orderdate") >= lit("2000-01-01"))
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"),
+            dsum(col("c_acctbal")).as("total_acctbal"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""SELECT c_mktsegment, count(*) AS n_customers,
+          ${dsumSql("c_acctbal")} AS total_acctbal
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderdate >= timestamp '2000-01-01')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")),
+
+    // ─── q8: distinct projection ───
+    "q8_distinct" -> Q(
+      (s, dir) => {
+        t(s, dir, "orders")
+          .select(col("o_orderstatus"), col("o_orderpriority"))
+          .distinct()
+          .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+      },
+      Some("""SELECT DISTINCT o_orderstatus, o_orderpriority
+        FROM orders
+        ORDER BY o_orderstatus, o_orderpriority""")),
+
+    // ─── q9: global top-k with deterministic tiebreak ───
+    "q9_topk" -> Q(
+      (s, dir) => {
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+          strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10""")),
+
+    // ─── q10: group + HAVING ───
+    "q10_having" -> Q(
+      (s, dir) => {
+        t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("total_spent"))
+          .filter(col("n_orders") >= 3)
+          .orderBy(col("o_custkey"))
+      },
+      Some(s"""SELECT o_custkey, count(*) AS n_orders,
+          ${dsumSql("o_totalprice")} AS total_spent
+        FROM orders
+        GROUP BY o_custkey
+        HAVING count(*) >= 3
+        ORDER BY o_custkey""")),
+
+    // ─── q11: scalar subquery (vs. exact global average) ───
+    "q11_scalar_subquery" -> Q(
+      (s, dir) => {
+        val part = t(s, dir, "part")
+        val avgPrice = part.agg(davg(col("p_retailprice")).as("gavg"))
+        part.crossJoin(broadcast(avgPrice))
+          .filter(col("p_retailprice") > col("gavg"))
+          .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+          .orderBy(col("p_partkey"))
+      },
+      Some(s"""SELECT p_partkey, p_name, p_retailprice
+        FROM part
+        WHERE p_retailprice > (SELECT ${davgSql("p_retailprice")} FROM part)
+        ORDER BY p_partkey""")),
+
+    // ─── q12: CASE WHEN buckets + conditional agg (TPC-H Q12 shape) ───
+    "q12_case_when" -> Q(
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1997-01-01"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_linestatus"))
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("high_line_count"),
+            sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("low_line_count"))
+          .orderBy(col("l_linestatus"))
+      },
+      Some("""SELECT l_linestatus,
+          cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) as bigint) AS high_line_count,
+          cast(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) as bigint) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= timestamp '1996-01-01'
+          AND l_shipdate < timestamp '1997-01-01'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus""")),
+
+    // ─── q13: left outer join + distribution (TPC-H Q13 shape) ───
+    "q13_left_join" -> Q(
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val ord = t(s, dir, "orders")
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC""")),
+
+    // ─── q14: UNION ALL + UNION (dedup) ───
+    "q14_union" -> Q(
+      (s, dir) => {
+        val a = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("key"))
+        val b = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("key"))
+        val unionAll = a.union(b).agg(count(lit(1)).as("n_all"))
+        val unionDistinct = a.union(b).distinct()
+          .agg(count(lit(1)).as("n_distinct"))
+        unionAll.crossJoin(unionDistinct)
+      },
+      Some("""SELECT
+          (SELECT count(*) FROM (
+            SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'F'
+            UNION ALL
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')) AS n_all,
+          (SELECT count(*) FROM (
+            SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'F'
+            UNION
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')) AS n_distinct""")),
+
+    // ─── q15: INTERSECT / EXCEPT ───
+    "q15_setops" -> Q(
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+        val y95 = ord.filter(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1996-01-01")).select(col("o_custkey"))
+        val y96 = ord.filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01")).select(col("o_custkey"))
+        val inter = y95.intersect(y96).agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("intersect"))
+        val exc = y95.except(y96).agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("except"))
+        inter.union(exc).select(col("op"), col("n")).orderBy(col("op"))
+      },
+      Some("""WITH y95 AS (SELECT o_custkey FROM orders
+               WHERE o_orderdate >= timestamp '1995-01-01'
+                 AND o_orderdate < timestamp '1996-01-01'),
+             y96 AS (SELECT o_custkey FROM orders
+               WHERE o_orderdate >= timestamp '1996-01-01'
+                 AND o_orderdate < timestamp '1997-01-01')
+        SELECT 'intersect' AS op, count(*) AS n
+          FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+        UNION ALL
+        SELECT 'except' AS op, count(*) AS n
+          FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+        ORDER BY op""")),
+
+    // ─── q16: ROLLUP (grouping sets) ───
+    "q16_grouping_sets" -> Q(
+      (s, dir) => {
+        t(s, dir, "orders")
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n"), col("total"))
+          .orderBy(col("status"), col("priority"))
+      },
+      Some(s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          coalesce(o_orderpriority, 'ALL') AS priority,
+          count(*) AS n, ${dsumSql("o_totalprice")} AS total
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority""")),
+
+    // ─── q17: ranking windows ───
+    "q17_window_rank" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+            row_number().over(w).as("rn"),
+            rank().over(w).as("rk"),
+            dense_rank().over(w).as("drk"))
+          .filter(col("rn") <= 3)
+          .orderBy(col("c_nationkey"), col("rn"))
+      },
+      Some("""SELECT * FROM (
+          SELECT c_custkey, c_nationkey, c_acctbal,
+            row_number() OVER w AS rn,
+            rank() OVER w AS rk,
+            dense_rank() OVER w AS drk
+          FROM customer
+          WINDOW w AS (PARTITION BY c_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey)
+        ) WHERE rn <= 3
+        ORDER BY c_nationkey, rn""")),
+
+    // ─── q18: running sum + moving average (rows frames) ───
+    "q18_window_running" -> Q(
+      (s, dir) => {
+        val order = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wRun = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wMov = order.rowsBetween(-2, Window.currentRow)
+        t(s, dir, "orders")
+          .filter(col("o_custkey") <= 50)
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).over(wRun)
+              .cast("double").as("running_total"),
+            (sum(col("o_totalprice").cast(DecimalType(18, 2))).over(wMov)
+              .cast("double") / count(lit(1)).over(wMov)).as("moving_avg"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+          cast(sum(cast(o_totalprice as decimal(18,2))) OVER w_run as double)
+            AS running_total,
+          cast(sum(cast(o_totalprice as decimal(18,2))) OVER w_mov as double)
+            / count(*) OVER w_mov AS moving_avg
+        FROM orders
+        WHERE o_custkey <= 50
+        WINDOW
+          w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          w_mov AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ─── q19: lead / lag / first_value / last_value ───
+    "q19_window_leadlag" -> Q(
+      (s, dir) => {
+        val order = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val full = order.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        t(s, dir, "orders")
+          .filter(col("o_custkey") <= 50)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            lag(col("o_totalprice"), 1).over(order).as("prev_price"),
+            lead(col("o_totalprice"), 1).over(order).as("next_price"),
+            first(col("o_totalprice")).over(full).as("first_price"),
+            last(col("o_totalprice")).over(full).as("last_price"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+          lag(o_totalprice, 1) OVER w AS prev_price,
+          lead(o_totalprice, 1) OVER w AS next_price,
+          first_value(o_totalprice) OVER wf AS first_price,
+          last_value(o_totalprice) OVER wf AS last_price
+        FROM orders
+        WHERE o_custkey <= 50
+        WINDOW
+          w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+          wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ─── q20: ntile / percent_rank / cume_dist ───
+    "q20_window_ntile" -> Q(
+      (s, dir) => {
+        val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_acctbal,
+          ntile(4) OVER w AS quartile,
+          percent_rank() OVER w AS pct_rank,
+          cume_dist() OVER w AS cume
+        FROM customer
+        WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_custkey"""))
+  )
+}

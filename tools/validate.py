@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Reads each <outDir>/<name> parquet written by graft.Verify, replays the
+oracle SQL from <outDir>/oracle_sql.json in DuckDB over the same sf dir,
+then compares: columns sorted by name, rows sorted by all columns,
+exact value equality. Strictly local tooling — not part of the library.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm(r[i]) for i in idx))
+    out.sort(key=lambda t: tuple((v is None, str(v)) for v in t))
+    return [cols[i] for i in idx], out
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    only = sys.argv[3:] or None
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            r = con.execute(
+                f"select * from read_parquet('{out_dir}/{name}/*.parquet')")
+            got_cols = [d[0] for d in r.description]
+            got = r.fetchall()
+            r2 = con.execute(sql)
+            exp_cols = [d[0] for d in r2.description]
+            exp = r2.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        gc, g = canon(got, got_cols)
+        ec, e = canon(exp, exp_cols)
+        if gc != ec:
+            print(f"FAIL {name}: columns {gc} != {ec}")
+            n_fail += 1
+        elif len(g) != len(e):
+            print(f"FAIL {name}: rows {len(g)} != {len(e)}")
+            n_fail += 1
+        elif g != e:
+            bad = next(i for i in range(len(g)) if g[i] != e[i])
+            print(f"FAIL {name}: first diff row {bad}:\n  got {g[bad]}\n  exp {e[bad]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(g)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
