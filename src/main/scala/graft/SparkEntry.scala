@@ -12,7 +12,8 @@ import graft.queries.{Q, QueryModule}
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    graft.queries.Relational
+    graft.queries.Relational,
+    graft.queries.Relational2
   )
 
   private lazy val all: Map[String, Q] =

@@ -20,6 +20,24 @@ object Q {
   /** Read one test table: `{sfDir}/{name}.parquet`. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Read the events table, normalizing its TIMESTAMP(NANOS) `ts`
+    * column (which Spark's vectorized parquet reader rejects) to a
+    * microsecond TimestampType column — the same truncation DuckDB
+    * applies when casting timestamp_ns to timestamp.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer `div`, not `/`: double division loses precision on
+        // epoch-nanos magnitudes (~1.7e18 > 2^53)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
 }
 
 /** A module contributing queries to [[graft.SparkEntry]]. */

@@ -1,0 +1,550 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator inventory, part 2 (SURVEY.md §2.2, q21–q38):
+  * scalar function families, exact statistics, percentiles, CTE
+  * chains, outer/cross joins, arrays, pivot, as-of/range joins,
+  * sessionization, event-time windows.
+  *
+  * Numeric policy as in [[Relational]]: aggregation goes through exact
+  * decimal sums; scalar double arithmetic is written as the *same*
+  * IEEE expression tree on both engines so results are bit-identical.
+  */
+object Relational2 extends QueryModule {
+  import Q.t
+
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+  private def dsumSql(expr: String, scale: Int = 2): String =
+    s"cast(sum(cast($expr as decimal(18,$scale))) as double)"
+
+  private val TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private val TS_FMT_DD = "%Y-%m-%d %H:%M:%S.%f"
+
+  def queries: Map[String, Q] = Map(
+    // ─── q21: string function family ───
+    "q21_string_funcs" -> Q(
+      (s, dir) => {
+        t(s, dir, "part").filter(col("p_partkey") <= 100)
+          .select(col("p_partkey"),
+            upper(col("p_name")).as("up_name"),
+            lower(col("p_brand")).as("low_brand"),
+            substring(col("p_name"), 1, 4).as("pre4"),
+            length(col("p_name")).cast("long").as("name_len"),
+            concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+            col("p_name").like("%widget%").as("has_widget"),
+            regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+            regexp_replace(col("p_name"), "widget", "gadget").as("renamed"),
+            size(split(col("p_name"), " ")).cast("long").as("n_words"),
+            instr(col("p_name"), "o").cast("long").as("o_pos"),
+            lpad(col("p_brand"), 12, "*").as("padded"),
+            reverse(col("p_name")).as("rev_name"),
+            trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey,
+          upper(p_name) AS up_name,
+          lower(p_brand) AS low_brand,
+          substr(p_name, 1, 4) AS pre4,
+          length(p_name) AS name_len,
+          p_brand || ':' || p_type AS brand_type,
+          p_name LIKE '%widget%' AS has_widget,
+          regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+          regexp_replace(p_name, 'widget', 'gadget') AS renamed,
+          len(string_split(p_name, ' ')) AS n_words,
+          strpos(p_name, 'o') AS o_pos,
+          lpad(p_brand, 12, '*') AS padded,
+          reverse(p_name) AS rev_name,
+          trim('  ' || p_name || '  ') AS trimmed
+        FROM part WHERE p_partkey <= 100
+        ORDER BY p_partkey""")),
+
+    // ─── q22: date/time function family ───
+    "q22_date_funcs" -> Q(
+      (s, dir) => {
+        t(s, dir, "orders").filter(col("o_orderkey") <= 200)
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("yr"),
+            month(col("o_orderdate")).cast("long").as("mo"),
+            dayofmonth(col("o_orderdate")).cast("long").as("dy"),
+            quarter(col("o_orderdate")).cast("long").as("qtr"),
+            (when(dayofweek(col("o_orderdate")) === 1, 7)
+              .otherwise(dayofweek(col("o_orderdate")) - 1))
+              .cast("long").as("isodow"),
+            date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+              .as("month_start"),
+            date_format(date_add(to_date(col("o_orderdate")), 30), "yyyy-MM-dd")
+              .as("plus30"),
+            datediff(lit("2000-01-01").cast("date"), to_date(col("o_orderdate")))
+              .cast("long").as("days_to_y2k"),
+            unix_timestamp(col("o_orderdate")).as("epoch_s"),
+            date_format(last_day(to_date(col("o_orderdate"))), "yyyy-MM-dd")
+              .as("month_end"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+          year(o_orderdate) AS yr,
+          month(o_orderdate) AS mo,
+          day(o_orderdate) AS dy,
+          quarter(o_orderdate) AS qtr,
+          isodow(o_orderdate) AS isodow,
+          strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+          strftime(cast(o_orderdate as date) + interval 30 day, '%Y-%m-%d') AS plus30,
+          date_diff('day', cast(o_orderdate as date), date '2000-01-01') AS days_to_y2k,
+          cast(epoch(o_orderdate) as bigint) AS epoch_s,
+          strftime(last_day(cast(o_orderdate as date)), '%Y-%m-%d') AS month_end
+        FROM orders WHERE o_orderkey <= 200
+        ORDER BY o_orderkey""")),
+
+    // ─── q23: math function family ───
+    "q23_math_funcs" -> Q(
+      (s, dir) => {
+        t(s, dir, "lineitem").filter(col("l_orderkey") <= 500)
+          .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
+            floor(col("l_extendedprice")).cast("double").as("fl"),
+            ceil(col("l_extendedprice")).cast("double").as("ce"),
+            abs(col("l_discount") - lit(0.05)).as("ab"),
+            sqrt(col("l_extendedprice")).as("sq"),
+            // libm vs. java.lang.Math transcendentals differ by 1 ULP;
+            // round to 6 decimals on both engines.
+            round(log(col("l_extendedprice")), 6).as("logn"),
+            round(pow(col("l_quantity"), lit(2.0)), 6).as("pw"),
+            (col("l_partkey") % 7).cast("long").as("md"),
+            signum(col("l_quantity") - lit(25.0)).cast("double").as("sg"))
+          .orderBy(col("l_orderkey"), col("ln"))
+      },
+      Some("""SELECT l_orderkey, cast(l_linenumber as bigint) AS ln,
+          floor(l_extendedprice) AS fl,
+          ceil(l_extendedprice) AS ce,
+          abs(l_discount - 0.05) AS ab,
+          sqrt(l_extendedprice) AS sq,
+          round(ln(l_extendedprice), 6) AS logn,
+          round(pow(l_quantity, 2.0), 6) AS pw,
+          cast(l_partkey % 7 as bigint) AS md,
+          cast(sign(l_quantity - 25.0) as double) AS sg
+        FROM lineitem WHERE l_orderkey <= 500
+        ORDER BY l_orderkey, ln""")),
+
+    // ─── q24: conditional expression family ───
+    "q24_conditional" -> Q(
+      (s, dir) => {
+        t(s, dir, "orders").filter(col("o_orderkey") <= 300)
+          .select(col("o_orderkey"),
+            nullif(col("o_orderstatus"), lit("P")).as("st_or_null"),
+            coalesce(nullif(col("o_orderstatus"), lit("P")), lit("PENDING"))
+              .as("st_filled"),
+            greatest(col("o_totalprice"), lit(100000.0)).as("capped_lo"),
+            least(col("o_totalprice"), lit(100000.0)).as("capped_hi"),
+            when(col("o_totalprice") < 50000, "low")
+              .when(col("o_totalprice") < 150000, "mid")
+              .otherwise("high").as("bucket"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+          nullif(o_orderstatus, 'P') AS st_or_null,
+          coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS st_filled,
+          greatest(o_totalprice, 100000.0) AS capped_lo,
+          least(o_totalprice, 100000.0) AS capped_hi,
+          CASE WHEN o_totalprice < 50000 THEN 'low'
+               WHEN o_totalprice < 150000 THEN 'mid'
+               ELSE 'high' END AS bucket
+        FROM orders WHERE o_orderkey <= 300
+        ORDER BY o_orderkey""")),
+
+    // ─── q25: statistics aggregates (exact-moment formulation) ───
+    // stddev/var/corr computed from exact decimal moments so partial
+    // aggregates merge exactly at any parallelism (100 TB-safe: the
+    // moments are what a 1000-executor partial agg would ship).
+    "q25_stats_agg" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val agg = c.groupBy(col("c_mktsegment")).agg(
+          count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(DecimalType(18, 4))).cast("double").as("sx"),
+          sum((col("c_acctbal") * col("c_acctbal")).cast(DecimalType(28, 8)))
+            .cast("double").as("sxx"),
+          sum((col("c_acctbal") * col("c_custkey")).cast(DecimalType(28, 6)))
+            .cast("double").as("sxy"),
+          sum((col("c_custkey") * col("c_custkey")).cast(DecimalType(28, 2)))
+            .cast("double").as("syy"),
+          sum(col("c_custkey").cast(DecimalType(18, 2))).cast("double").as("sy"),
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"),
+          max_by(col("c_custkey"), col("c_acctbal")).as("richest_cust"),
+          min_by(col("c_custkey"), col("c_acctbal")).as("poorest_cust"))
+        agg.select(col("c_mktsegment"), col("n"),
+            (col("sx") / col("n")).as("mean_bal"),
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+              (col("n") - lit(1))).as("stddev_bal"),
+            ((col("sxx") - col("sx") * col("sx") / col("n")) /
+              (col("n") - lit(1))).as("var_bal"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+              .as("corr_bal_key"),
+            col("min_bal"), col("max_bal"),
+            col("richest_cust"), col("poorest_cust"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""WITH m AS (
+          SELECT c_mktsegment,
+            count(*) AS n,
+            cast(sum(cast(c_acctbal as decimal(18,4))) as double) AS sx,
+            cast(sum(cast(c_acctbal * c_acctbal as decimal(28,8))) as double) AS sxx,
+            cast(sum(cast(c_acctbal * c_custkey as decimal(28,6))) as double) AS sxy,
+            cast(sum(cast(c_custkey * c_custkey as decimal(28,2))) as double) AS syy,
+            cast(sum(cast(c_custkey as decimal(18,2))) as double) AS sy,
+            min(c_acctbal) AS min_bal,
+            max(c_acctbal) AS max_bal,
+            arg_max(c_custkey, c_acctbal) AS richest_cust,
+            arg_min(c_custkey, c_acctbal) AS poorest_cust
+          FROM customer GROUP BY c_mktsegment)
+        SELECT c_mktsegment, n,
+          sx / n AS mean_bal,
+          sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_bal,
+          (sxx - sx * sx / n) / (n - 1) AS var_bal,
+          (n * sxy - sx * sy) /
+            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_bal_key,
+          min_bal, max_bal, richest_cust, poorest_cust
+        FROM m
+        ORDER BY c_mktsegment""")),
+
+    // ─── q26: exact interpolated percentiles ───
+    "q26_percentiles" -> Q(
+      (s, dir) => {
+        t(s, dir, "orders").groupBy(col("o_orderstatus")).agg(
+          expr("percentile(o_totalprice, 0.25)").as("p25"),
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.75)").as("p75"),
+          expr("median(o_totalprice)").as("med"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus,
+          quantile_cont(o_totalprice, 0.25) AS p25,
+          quantile_cont(o_totalprice, 0.5) AS p50,
+          quantile_cont(o_totalprice, 0.75) AS p75,
+          median(o_totalprice) AS med
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")),
+
+    // ─── q27: multi count-distinct ───
+    "q27_countd" -> Q(
+      (s, dir) => {
+        t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+          countDistinct(col("l_partkey")).as("ndp"),
+          countDistinct(col("l_suppkey")).as("nds"),
+          count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+          count(DISTINCT l_partkey) AS ndp,
+          count(DISTINCT l_suppkey) AS nds,
+          count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // ─── q27b: approximate count-distinct (HLL; engine-specific → rows-only) ───
+    "q27b_approx_countd" -> Q(
+      (s, dir) => {
+        t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+          approx_count_distinct(col("l_partkey")).as("approx_ndp"),
+          count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      None),
+
+    // ─── q28: chained CTEs ───
+    "q28_cte" -> Q(
+      (s, dir) => {
+        val custrev = t(s, dir, "orders").groupBy(col("o_custkey"))
+          .agg(dsum(col("o_totalprice")).as("rev"))
+        val withSeg = custrev.join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_mktsegment"), col("rev"))
+        val segavg = withSeg.groupBy(col("c_mktsegment").as("seg"))
+          .agg((sum(col("rev").cast(DecimalType(18, 2))).cast("double") /
+            count(lit(1))).as("seg_avg"))
+        withSeg.join(segavg, col("c_mktsegment") === col("seg"))
+          .filter(col("rev") > col("seg_avg") * lit(1.5))
+          .select(col("c_custkey"), col("c_mktsegment"), col("rev"),
+            col("seg_avg"))
+          .orderBy(col("c_custkey"))
+      },
+      Some(s"""WITH custrev AS (
+          SELECT o_custkey, ${dsumSql("o_totalprice")} AS rev
+          FROM orders GROUP BY o_custkey),
+        withseg AS (
+          SELECT c_custkey, c_mktsegment, rev
+          FROM custrev JOIN customer ON o_custkey = c_custkey),
+        segavg AS (
+          SELECT c_mktsegment AS seg,
+            cast(sum(cast(rev as decimal(18,2))) as double) / count(*) AS seg_avg
+          FROM withseg GROUP BY c_mktsegment)
+        SELECT c_custkey, c_mktsegment, rev, seg_avg
+        FROM withseg JOIN segavg ON c_mktsegment = seg
+        WHERE rev > seg_avg * 1.5
+        ORDER BY c_custkey""")),
+
+    // ─── q29: per-group argmax via window ───
+    "q29_groupwise_max" -> Q(
+      (s, dir) => {
+        val joined = t(s, dir, "customer").join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        val w = Window.partitionBy(col("n_name"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        joined.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("n_name"), col("c_custkey"), col("c_acctbal"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name, c_custkey, c_acctbal FROM (
+          SELECT n_name, c_custkey, c_acctbal,
+            row_number() OVER (PARTITION BY n_name
+                               ORDER BY c_acctbal DESC, c_custkey) AS rk
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ) WHERE rk = 1
+        ORDER BY n_name""")),
+
+    // ─── q30: full outer join ───
+    "q30_full_outer" -> Q(
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+        val a = ord.filter(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1996-01-01"))
+          .groupBy(col("o_custkey").as("key_a"))
+          .agg(count(lit(1)).as("n95"))
+        val b = ord.filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+          .groupBy(col("o_custkey").as("key_b"))
+          .agg(count(lit(1)).as("n96"))
+        a.join(b, col("key_a") === col("key_b"), "full_outer")
+          .select(coalesce(col("key_a"), col("key_b")).as("custkey"),
+            coalesce(col("n95"), lit(0L)).as("n95"),
+            coalesce(col("n96"), lit(0L)).as("n96"))
+          .orderBy(col("custkey"))
+      },
+      Some("""WITH a AS (
+          SELECT o_custkey AS key_a, count(*) AS n95 FROM orders
+          WHERE o_orderdate >= timestamp '1995-01-01'
+            AND o_orderdate < timestamp '1996-01-01'
+          GROUP BY o_custkey),
+        b AS (
+          SELECT o_custkey AS key_b, count(*) AS n96 FROM orders
+          WHERE o_orderdate >= timestamp '1996-01-01'
+            AND o_orderdate < timestamp '1997-01-01'
+          GROUP BY o_custkey)
+        SELECT coalesce(key_a, key_b) AS custkey,
+          coalesce(n95, 0) AS n95,
+          coalesce(n96, 0) AS n96
+        FROM a FULL OUTER JOIN b ON key_a = key_b
+        ORDER BY custkey""")),
+
+    // ─── q30b: right outer join ───
+    "q30b_right_join" -> Q(
+      (s, dir) => {
+        val liAgg = t(s, dir, "lineitem").filter(col("l_orderkey") <= 50)
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n_items"))
+        liAgg.join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"), "right_outer")
+          .select(col("s_suppkey"), col("s_name"),
+            coalesce(col("n_items"), lit(0L)).as("n_items"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, s_name, coalesce(n_items, 0) AS n_items
+        FROM (SELECT l_suppkey, count(*) AS n_items FROM lineitem
+              WHERE l_orderkey <= 50 GROUP BY l_suppkey) li
+        RIGHT OUTER JOIN supplier ON l_suppkey = s_suppkey
+        ORDER BY s_suppkey""")),
+
+    // ─── q31: cross join ───
+    "q31_cross_join" -> Q(
+      (s, dir) => {
+        val statuses = t(s, dir, "orders").select(col("o_orderstatus")).distinct()
+        t(s, dir, "region").crossJoin(statuses)
+          .select(col("r_name"), col("o_orderstatus"))
+          .orderBy(col("r_name"), col("o_orderstatus"))
+      },
+      Some("""SELECT r_name, o_orderstatus
+        FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        ORDER BY r_name, o_orderstatus""")),
+
+    // ─── q32: explode / unnest with position ───
+    "q32_explode" -> Q(
+      (s, dir) => {
+        t(s, dir, "embeddings").filter(col("vec_id") < 5)
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
+            col("col").as("val"))
+          .orderBy(col("vec_id"), col("pos"))
+      },
+      Some("""SELECT vec_id,
+          generate_subscripts(embedding, 1) AS pos,
+          unnest(embedding) AS val
+        FROM embeddings WHERE vec_id < 5
+        ORDER BY vec_id, pos""")),
+
+    // ─── q33: array function family (in-order double folds match both engines) ───
+    "q33_array_funcs" -> Q(
+      (s, dir) => {
+        t(s, dir, "embeddings").filter(col("vec_id") < 50)
+          .select(col("vec_id"),
+            size(col("embedding")).cast("long").as("dim"),
+            element_at(col("embedding"), 1).as("first_val"),
+            slice(col("embedding"), 1, 3).as("head3"),
+            aggregate(col("embedding"), lit(0.0),
+              (acc, x) => acc + x).as("vsum"),
+            sqrt(aggregate(col("embedding"), lit(0.0),
+              (acc, x) => acc + x.cast("double") * x.cast("double"))).as("l2"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id,
+          len(embedding) AS dim,
+          embedding[1] AS first_val,
+          embedding[1:3] AS head3,
+          list_reduce(list_transform(embedding, x -> cast(x as double)),
+                      (a, b) -> a + b) AS vsum,
+          sqrt(list_reduce(list_transform(embedding,
+                      x -> cast(x as double) * x), (a, b) -> a + b)) AS l2
+        FROM embeddings WHERE vec_id < 50
+        ORDER BY vec_id""")),
+
+    // ─── q34: pivot ───
+    "q34_pivot" -> Q(
+      (s, dir) => {
+        t(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select(col("yr"),
+            coalesce(col("F"), lit(0L)).as("F"),
+            coalesce(col("O"), lit(0L)).as("O"),
+            coalesce(col("P"), lit(0L)).as("P"))
+          .orderBy(col("yr"))
+      },
+      Some("""SELECT year(o_orderdate) AS yr,
+          cast(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) as bigint) AS "F",
+          cast(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) as bigint) AS "O",
+          cast(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) as bigint) AS "P"
+        FROM orders
+        GROUP BY yr
+        ORDER BY yr""")),
+
+    // ─── q35: as-of join (nearest earlier click per purchase) ───
+    // Scalable union+window formulation: one shuffle on user_id, no
+    // per-row point lookups — the classic distributed as-of pattern.
+    "q35_asof_join" -> Q(
+      (s, dir) => {
+        val ev = Q.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), lit(0).as("kind"),
+            lit(null).cast("long").as("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(1).as("kind"),
+            col("event_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("kind"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clicks.union(purchases)
+          .withColumn("last_click_ts",
+            max(when(col("kind") === 0, col("ts"))).over(w))
+          .filter(col("kind") === 1)
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), TS_FMT).as("purchase_ts"),
+            date_format(col("last_click_ts"), TS_FMT).as("click_ts"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""SELECT p.event_id, p.user_id,
+          strftime(p.ts, '$TS_FMT_DD') AS purchase_ts,
+          strftime(c.ts, '$TS_FMT_DD') AS click_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND c.ts <= p.ts
+        ORDER BY p.event_id""")),
+
+    // ─── q36: range join via bucketed equi-join ───
+    // The oracle states the range predicate directly; the Spark plan
+    // derives the single candidate bucket (round(l_quantity) = p_size)
+    // so the join is an equi-join — the 100 TB-safe shape (no BNLJ).
+    "q36_range_join" -> Q(
+      (s, dir) => {
+        val parts = t(s, dir, "part").filter(col("p_partkey") % 100 === 0)
+        val li = t(s, dir, "lineitem").filter(col("l_orderkey") <= 2000)
+          .withColumn("bucket", floor(col("l_quantity") + lit(0.5)))
+        li.join(parts, col("bucket") === col("p_size"))
+          .filter(col("l_quantity") >= col("p_size") - 0.5 &&
+            col("l_quantity") <= col("p_size") + 0.5)
+          .groupBy(col("p_partkey"))
+          .agg(count(lit(1)).as("n_matches"), dsum(col("l_quantity")).as("qty"))
+          .orderBy(col("p_partkey"))
+      },
+      Some(s"""SELECT p_partkey, count(*) AS n_matches,
+          ${dsumSql("l_quantity")} AS qty
+        FROM part JOIN lineitem
+          ON l_quantity >= p_size - 0.5 AND l_quantity <= p_size + 0.5
+        WHERE p_partkey % 100 = 0 AND l_orderkey <= 2000
+        GROUP BY p_partkey
+        ORDER BY p_partkey""")),
+
+    // ─── q37: gap-based sessionization ───
+    "q37_sessionize" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Q.events(s, dir).filter(col("user_id") <= 50)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(wRun))
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg(count(lit(1)).as("n_events"),
+            date_format(min(col("ts")), TS_FMT).as("sess_start"),
+            date_format(max(col("ts")), TS_FMT).as("sess_end"))
+          .orderBy(col("user_id"), col("sess_id"))
+      },
+      Some(s"""WITH flagged AS (
+          SELECT user_id, event_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                 THEN 1 ELSE 0 END AS new_sess
+          FROM events WHERE user_id <= 50
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessions AS (
+          SELECT user_id, event_id, ts,
+            cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+              AS sess_id
+          FROM flagged)
+        SELECT user_id, sess_id, count(*) AS n_events,
+          strftime(min(ts), '$TS_FMT_DD') AS sess_start,
+          strftime(max(ts), '$TS_FMT_DD') AS sess_end
+        FROM sessions
+        GROUP BY user_id, sess_id
+        ORDER BY user_id, sess_id""")),
+
+    // ─── q38: event-time tumbling window aggregation (batch form) ───
+    "q38_events_window" -> Q(
+      (s, dir) => {
+        Q.events(s, dir)
+          .groupBy(date_format(date_trunc("hour", col("ts")),
+            "yyyy-MM-dd HH:mm").as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("total_value"))
+          .orderBy(col("hour"), col("event_type"))
+      },
+      Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+          event_type, count(*) AS n,
+          ${dsumSql("value", 6)} AS total_value
+        FROM events
+        GROUP BY hour, event_type
+        ORDER BY hour, event_type"""))
+  )
+}
