@@ -13,7 +13,10 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     graft.queries.Relational,
-    graft.queries.Relational2
+    graft.queries.Relational2,
+    graft.queries.LlmText,
+    graft.queries.LlmSim,
+    graft.queries.Multimodal
   )
 
   private lazy val all: Map[String, Q] =

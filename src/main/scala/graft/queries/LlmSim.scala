@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Near-duplicate detection + similarity search for LLM training-data
+  * pipelines (SURVEY.md §2.3: d2, d4, d5, s1, s2).
+  *
+  * Scale design: every candidate-generation step is a hash-shuffle on
+  * a small key (band value / bit chunk / bucket id) — the quadratic
+  * pair explosion only ever happens *inside* a bucket. Exact
+  * verification runs only on candidates. Signatures are computed in a
+  * single codegen'd projection (array folds, no UDFs, no shuffle).
+  */
+object LlmSim extends QueryModule {
+  import Q.t
+
+  // ── deterministic coefficient tables (seeded LCG, no RNG at plan time) ──
+  private def lcgStream(seed: Long): Iterator[Long] =
+    Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L).drop(1)
+
+  private val P30 = 1073741789L // prime < 2^30
+
+  /** 16 (a, b) pairs for the MinHash universal-hash family. */
+  private val minhashCoef: Seq[(Long, Long)] = {
+    val it = lcgStream(42L)
+    Seq.fill(16)(((math.abs(it.next()) % (P30 - 2)) + 1,
+      math.abs(it.next()) % P30))
+  }
+
+  /** 16 hyperplanes × 64 dims in [-1, 1] for sign-LSH. */
+  private val hyperplanes: Seq[Seq[Double]] = {
+    val it = lcgStream(7L)
+    Seq.fill(16)(Seq.fill(64)((math.abs(it.next()) % 2001) / 1000.0 - 1.0))
+  }
+
+  private val DEC = DecimalType(30, 15)
+
+  /** Exact (order-independent) dot product of two float arrays:
+    * per-position double product (exact: 24-bit × 24-bit mantissas)
+    * cast to decimal(30,15), folded with exact decimal addition.
+    */
+  private def dotDec(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(DEC)),
+      lit(0).cast(DEC),
+      (acc, p) => (acc + p).cast(DEC)).cast("double")
+
+  /** Word-trigram shingles of the normalized text, hashed into [0, 2^30). */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")
+        .as("words"))
+      .select(col("doc_id"),
+        explode(expr(
+          """transform(sequence(0, size(words) - 3),
+               i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"""))
+          .as("sh"))
+      .distinct()
+      .withColumn("sh30", pmod(xxhash64(col("sh")), lit(1L << 30)))
+
+  def queries: Map[String, Q] = Map(
+    // ─── d2: MinHash + LSH near-dup candidates, exact-verified ───
+    // (rows-only: the banding/bucketing is engine-specific; its exact-
+    // jaccard verification is the same computation d3 oracles.)
+    "d2_dedup_minhash" -> Q(
+      (s, dir) => {
+        val tri = shingles(t(s, dir, "documents")).cache()
+        // 16 minhashes per doc, one shuffle
+        val mhAggs = minhashCoef.zipWithIndex.map { case ((a, b), i) =>
+          min(pmod(col("sh30") * a + b, lit(P30))).as(s"mh_$i")
+        }
+        val mh = tri.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+        val mhArr = mh.select(col("doc_id"),
+          array((0 until 16).map(i => col(s"mh_$i")): _*).as("sig"))
+        // bands of r=1: candidates share any minhash value
+        val bands = mhArr.select(col("doc_id"),
+          posexplode(col("sig")).as(Seq("band", "value")))
+        val cands = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.value") === col("y.value") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct()
+        // estimated similarity = matching minhash fraction
+        val est = cands
+          .join(mhArr.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
+          .join(mhArr.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
+          .withColumn("est_sim",
+            size(filter(zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => x === y), m => m)).cast("double") / 16.0)
+        // exact-verify candidates against true trigram jaccard
+        val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = est.select(col("a"), col("b"))
+          .join(tri.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
+          .join(tri.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
+          .filter(col("sh_a") === col("sh_b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ni"))
+        est.join(inter, Seq("a", "b"), "left_outer")
+          .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+          .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+          .select(col("a"), col("b"), col("est_sim"),
+            coalesce(col("ni"), lit(0L)).as("n_shared"),
+            (coalesce(col("ni"), lit(0L)).cast("double") /
+              (col("na") + col("nb") - coalesce(col("ni"), lit(0L))))
+              .as("jaccard"))
+          .orderBy(col("est_sim").desc, col("jaccard").desc,
+            col("a"), col("b"))
+          .limit(20)
+      },
+      None),
+
+    // ─── d4: SimHash near-dup (64-bit, 16-bit-chunk banding) ───
+    "d4_dedup_simhash" -> Q(
+      (s, dir) => {
+        val words = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))),
+              " ")).as("w"))
+          .withColumn("wh", xxhash64(col("w")))
+        // 64 signed bit-sums in one aggregation
+        val bitAggs = (0 until 64).map { b =>
+          sum(shiftright(col("wh"), b).bitwiseAND(1L) * 2 - 1).as(s"bit_$b")
+        }
+        val bitSums = words.groupBy(col("doc_id"))
+          .agg(bitAggs.head, bitAggs.tail: _*)
+        val sim = bitSums.select(col("doc_id"),
+          (0 until 64).map { b =>
+            when(col(s"bit_$b") > 0, lit(1L << b)).otherwise(0L)
+          }.reduce(_ + _).as("simhash"))
+        val chunks = sim.select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map { c =>
+            struct(lit(c).as("chunk"),
+              shiftrightunsigned(col("simhash"), 16 * c)
+                .bitwiseAND(0xFFFFL).as("cval"))
+          }: _*)).as("ck"))
+          .select(col("doc_id"), col("simhash"),
+            col("ck.chunk").as("chunk"), col("ck.cval").as("cval"))
+        chunks.as("x").join(chunks.as("y"),
+            col("x.chunk") === col("y.chunk") &&
+              col("x.cval") === col("y.cval") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+            col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
+          .distinct()
+          .withColumn("hamming",
+            bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+          .select(col("a"), col("b"), col("hamming"))
+          .orderBy(col("hamming"), col("a"), col("b"))
+          .limit(20)
+      },
+      None),
+
+    // ─── d5: embedding-cosine near-dup pairs (exact oracle) ───
+    "d5_embed_neardup" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+          .select(col("vec_id"), col("embedding"))
+        val norms = e.select(col("vec_id").as("nid"),
+          dotDec(col("embedding"), col("embedding")).as("nrm"))
+        val pairs = e.as("x").join(e.as("y"),
+            col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+            dotDec(col("x.embedding"), col("y.embedding")).as("dot"))
+        pairs
+          .join(norms.select(col("nid").as("a"), col("nrm").as("na")), "a")
+          .join(norms.select(col("nid").as("b"), col("nrm").as("nb")), "b")
+          .withColumn("cosine",
+            round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 12))
+          .filter(col("cosine") > 0.3)
+          .select(col("a"), col("b"), col("cosine"))
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+        flat AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                   unnest(embedding) AS val FROM e),
+        norms AS (SELECT vec_id,
+            cast(sum(cast(cast(val as double) * cast(val as double)
+              as decimal(30,15))) as double) AS nrm
+          FROM flat GROUP BY vec_id),
+        dots AS (SELECT x.vec_id AS a, y.vec_id AS b,
+            cast(sum(cast(cast(x.val as double) * cast(y.val as double)
+              as decimal(30,15))) as double) AS dot
+          FROM flat x JOIN flat y
+            ON x.pos = y.pos AND x.vec_id < y.vec_id
+          GROUP BY x.vec_id, y.vec_id)
+        SELECT a, b, round(dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 12) AS cosine
+        FROM dots JOIN norms na ON na.vec_id = a
+                  JOIN norms nb ON nb.vec_id = b
+        WHERE round(dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 12) > 0.3
+        ORDER BY a, b""")),
+
+    // ─── s1: brute-force cosine top-k (exact ANN baseline, oracled) ───
+    "s1_ann_brute" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val cands = e.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+        val scored = cands.join(broadcast(queries))
+          .select(col("query_id"), col("cand_id"),
+            round(dotDec(col("qv"), col("cv")) /
+              (sqrt(dotDec(col("qv"), col("qv"))) *
+                sqrt(dotDec(col("cv"), col("cv")))), 12).as("cosine"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("cand_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("cand_id"), col("cosine"),
+            col("rank").cast("long").as("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH flat AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+            unnest(embedding) AS val
+          FROM embeddings),
+        norms AS (SELECT vec_id,
+            sqrt(cast(sum(cast(cast(val as double) * cast(val as double)
+              as decimal(30,15))) as double)) AS nrm
+          FROM flat GROUP BY vec_id),
+        dots AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+            cast(sum(cast(cast(q.val as double) * cast(c.val as double)
+              as decimal(30,15))) as double) AS dot
+          FROM (SELECT * FROM flat WHERE vec_id < 10) q
+          JOIN (SELECT * FROM flat WHERE vec_id >= 10) c ON q.pos = c.pos
+          GROUP BY q.vec_id, c.vec_id),
+        scored AS (SELECT query_id, cand_id,
+            round(dot / (nq.nrm * nc.nrm), 12) AS cosine
+          FROM dots JOIN norms nq ON nq.vec_id = query_id
+                    JOIN norms nc ON nc.vec_id = cand_id),
+        ranked AS (SELECT query_id, cand_id, cosine,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id) AS rank
+          FROM scored)
+        SELECT query_id, cand_id, cosine, rank
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank""")),
+
+    // ─── s2: sign-LSH bucketed approximate top-k (scale path; rows-only,
+    // recall vs. s1 asserted in AnnSpec) ───
+    "s2_ann_lsh" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        // two 8-plane bands → two 8-bit bucket ids per vector, computed
+        // in one projection (no shuffle for signature generation)
+        def bucket(v: Column, band: Int): Column =
+          (0 until 8).map { p =>
+            val hp = typedLit(hyperplanes(band * 8 + p))
+            when(aggregate(zip_with(v, hp,
+              (x, h) => x.cast("double") * h), lit(0.0), (a, x) => a + x) > 0,
+              lit(1L << p)).otherwise(0L)
+          }.reduce(_ + _)
+        val sigs = e.select(col("vec_id"), col("embedding"),
+          explode(array((0 until 2).map { band =>
+            struct(lit(band).as("band"),
+              bucket(col("embedding"), band).as("bucket"))
+          }: _*)).as("bk"))
+          .select(col("vec_id"), col("embedding"),
+            col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+        val queries = sigs.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("band"), col("bucket"))
+        val cands = sigs.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+            col("band"), col("bucket"))
+        val matched = queries.join(cands, Seq("band", "bucket"))
+          .select(col("query_id"), col("cand_id"), col("qv"), col("cv"))
+          .distinct()
+        val scored = matched.select(col("query_id"), col("cand_id"),
+          (dotDec(col("qv"), col("cv")) /
+            (sqrt(dotDec(col("qv"), col("qv"))) *
+              sqrt(dotDec(col("cv"), col("cv"))))).as("cosine"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("cand_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("cand_id"), col("cosine"),
+            col("rank").cast("long").as("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None)
+  )
+}

@@ -1,0 +1,274 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + exact/ngram dedup operators for LLM training-data
+  * pipelines (SURVEY.md §2.3: d1, d3, t1–t4).
+  *
+  * All operate on the `documents` table. Everything here is pure
+  * `functions._` (whole-stage codegen, no UDFs); the per-doc word
+  * arrays stay inside one projection so nothing materializes wide.
+  */
+object LlmText extends QueryModule {
+  import Q.t
+
+  /** Normalized text: lowercase, trimmed, whitespace collapsed. */
+  private def norm(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  private val normSql =
+    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  /** Deterministic per-language stopword lists (from the synthetic
+    * corpus vocabulary) for the language-ID heuristic.
+    */
+  private val langWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "fast", "key", "order"),
+    "de" -> Seq("table", "scan", "merge", "part"),
+    "fr" -> Seq("window", "small", "hash", "join"),
+    "es" -> Seq("batch", "stream", "spark", "group"))
+
+  private val stoplist = Seq("the", "data", "row", "line", "key", "value")
+
+  def queries: Map[String, Q] = Map(
+    // ─── d1: exact dedup via content fingerprints ───
+    // Two signatures per doc: md5 of normalized text (byte-exact dup)
+    // and md5 of the sorted distinct-word bag (reordered-content dup).
+    // Survivor = min doc_id per signature group. At 100 TB this is one
+    // hash-shuffle on a 16-byte key; no text comparison ever happens.
+    "d1_dedup_exact" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("nrm", norm(col("text")))
+          .withColumn("sig", md5(col("nrm")))
+          .withColumn("bag_sig", md5(array_join(
+            array_sort(array_distinct(split(col("nrm"), " "))), " ")))
+        val bySig = docs.groupBy(col("sig"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("grp_n"))
+        val byBag = docs.groupBy(col("bag_sig"))
+          .agg(min(col("doc_id")).as("bag_keep_id"),
+            count(lit(1)).as("bag_grp_n"))
+        docs.join(bySig, "sig").join(byBag, "bag_sig")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("doc_id") === col("keep_id"), 1L).otherwise(0L))
+              .as("n_exact_survivors"),
+            sum(when(col("doc_id") === col("bag_keep_id"), 1L).otherwise(0L))
+              .as("n_bag_survivors"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH docs AS (
+          SELECT doc_id, lang, md5($normSql) AS sig,
+            md5(array_to_string(list_sort(list_distinct(
+              string_split($normSql, ' '))), ' ')) AS bag_sig
+          FROM documents),
+        by_sig AS (SELECT sig, min(doc_id) AS keep_id FROM docs GROUP BY sig),
+        by_bag AS (SELECT bag_sig, min(doc_id) AS bag_keep_id
+                   FROM docs GROUP BY bag_sig)
+        SELECT lang, count(*) AS n_docs,
+          cast(sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) as bigint)
+            AS n_exact_survivors,
+          cast(sum(CASE WHEN doc_id = bag_keep_id THEN 1 ELSE 0 END) as bigint)
+            AS n_bag_survivors
+        FROM docs JOIN by_sig USING (sig) JOIN by_bag USING (bag_sig)
+        GROUP BY lang
+        ORDER BY lang""")),
+
+    // ─── d3: exact n-gram Jaccard pair similarity (oracle for the
+    // LSH candidates in d2; capped subset keeps the O(n²) oracle feasible) ───
+    "d3_ngram_jaccard" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), split(norm(col("text")), " ").as("words"))
+        // word trigram shingles, distinct per doc
+        val tri = docs.select(col("doc_id"),
+          explode(expr(
+            """transform(sequence(0, size(words) - 3),
+                 i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"""))
+            .as("sh")).distinct()
+        val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = tri.as("x").join(tri.as("y"),
+            col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .agg(count(lit(1)).as("ni"))
+        inter.join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+          .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+          .select(col("a"), col("b"), col("ni"),
+            col("sa.n").as("na"), col("sb.n").as("nb"),
+            (col("ni").cast("double") /
+              (col("sa.n") + col("sb.n") - col("ni"))).as("jaccard"))
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH docs AS (
+          SELECT doc_id,
+            string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+              AS words
+          FROM documents WHERE doc_id % 5 = 0),
+        toks AS (SELECT doc_id, generate_subscripts(words, 1) AS pos,
+                   unnest(words) AS w FROM docs),
+        tri AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+                FROM toks a
+                JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+        inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ni
+                  FROM tri x JOIN tri y
+                    ON x.sh = y.sh AND x.doc_id < y.doc_id
+                  GROUP BY 1, 2)
+        SELECT a, b, ni, sa.n AS na, sb.n AS nb,
+          cast(ni as double) / (sa.n + sb.n - ni) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = a
+                   JOIN sizes sb ON sb.doc_id = b
+        ORDER BY a, b""")),
+
+    // ─── t1: language-ID heuristic (stopword scoring) ───
+    "t1_langid" -> Q(
+      (s, dir) => {
+        val scored = langWords.foldLeft(
+          t(s, dir, "documents")
+            .withColumn("words", split(norm(col("text")), " "))) {
+          case (df, (l, ws)) =>
+            df.withColumn(s"score_$l",
+              size(filter(col("words"), w => w.isInCollection(ws)))
+                .cast("long"))
+        }
+        scored.select(col("doc_id"), col("lang"),
+            col("score_en"), col("score_de"), col("score_fr"), col("score_es"),
+            when(col("score_en") >= col("score_de") &&
+              col("score_en") >= col("score_fr") &&
+              col("score_en") >= col("score_es"), "en")
+              .when(col("score_de") >= col("score_fr") &&
+                col("score_de") >= col("score_es"), "de")
+              .when(col("score_fr") >= col("score_es"), "fr")
+              .otherwise("es").as("predicted"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val scoreCols = langWords.map { case (l, ws) =>
+          val lst = ws.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(string_split($normSql, ' '), x -> x IN ($lst))) AS score_$l"
+        }.mkString(",\n          ")
+        s"""WITH scored AS (
+          SELECT doc_id, lang,
+          $scoreCols
+          FROM documents)
+        SELECT doc_id, lang, score_en, score_de, score_fr, score_es,
+          CASE WHEN score_en >= score_de AND score_en >= score_fr
+                    AND score_en >= score_es THEN 'en'
+               WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+               WHEN score_fr >= score_es THEN 'fr'
+               ELSE 'es' END AS predicted
+        FROM scored
+        ORDER BY doc_id"""
+      }),
+
+    // ─── t2: quality scoring ───
+    "t2_quality" -> Q(
+      (s, dir) => {
+        val stopSql = stoplist
+        t(s, dir, "documents")
+          .withColumn("nrm", norm(col("text")))
+          .withColumn("words", split(col("nrm"), " "))
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars"),
+            size(col("words")).cast("long").as("n_words"),
+            (length(col("text")) -
+              length(regexp_replace(col("text"), "[.,;:!?]", "")))
+              .cast("long").as("n_punct"),
+            ((length(col("text")) -
+              length(regexp_replace(col("text"), "[.,;:!?]", "")))
+              .cast("double") / length(col("text"))).as("punct_ratio"),
+            (size(filter(col("words"), w => w.isInCollection(stopSql)))
+              .cast("double") / size(col("words"))).as("stop_ratio"),
+            (length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+              .cast("double") / length(col("text"))).as("alpha_ratio"),
+            (length(regexp_replace(col("nrm"), " ", "")).cast("double") /
+              size(col("words"))).as("avg_word_len"))
+          .withColumn("quality",
+            when(col("n_words").between(20, 80) && col("stop_ratio") > 0.05,
+              "good")
+              .when(col("n_words") >= 10, "ok")
+              .otherwise("poor"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val lst = stoplist.map(w => s"'$w'").mkString(", ")
+        s"""WITH base AS (
+          SELECT doc_id, text, $normSql AS nrm,
+            string_split($normSql, ' ') AS words
+          FROM documents)
+        SELECT doc_id,
+          length(text) AS n_chars,
+          len(words) AS n_words,
+          length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+            AS n_punct,
+          cast(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+            as double) / length(text) AS punct_ratio,
+          cast(len(list_filter(words, x -> x IN ($lst))) as double)
+            / len(words) AS stop_ratio,
+          cast(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) as double)
+            / length(text) AS alpha_ratio,
+          cast(length(replace(nrm, ' ', '')) as double) / len(words)
+            AS avg_word_len,
+          CASE WHEN len(words) BETWEEN 20 AND 80
+                    AND cast(len(list_filter(words, x -> x IN ($lst))) as double)
+                        / len(words) > 0.05 THEN 'good'
+               WHEN len(words) >= 10 THEN 'ok'
+               ELSE 'poor' END AS quality
+        FROM base
+        ORDER BY doc_id"""
+      }),
+
+    // ─── t3: token counting (whitespace + BPE-ish regex) ───
+    "t3_tokcount" -> Q(
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+            size(regexp_extract_all(col("text"),
+              lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+              .cast("long").as("re_tokens"),
+            (length(col("text")).cast("double") /
+              size(split(trim(col("text")), "\\s+"))).as("chars_per_token"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+          len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+            AS re_tokens,
+          cast(length(text) as double)
+            / len(string_split_regex(trim(text), '\s+')) AS chars_per_token
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ─── t4: document fingerprint (polynomial rolling hash) ───
+    // Per-word md5-derived 32-bit values folded left with
+    // acc = (acc * 31 + h) mod 1e9+7 — engine-agnostic, deterministic,
+    // and a single codegen'd projection per doc (no shuffle).
+    "t4_fingerprint" -> Q(
+      (s, dir) => {
+        t(s, dir, "documents")
+          .withColumn("words", split(norm(col("text")), " "))
+          .filter(size(col("words")) >= 2)
+          .select(col("doc_id"),
+            aggregate(
+              transform(col("words"),
+                w => conv(substring(md5(w), 1, 8), 16, 10).cast("long")),
+              lit(0L),
+              (acc, x) => pmod(acc * 31 + x, lit(1000000007L)))
+              .as("fingerprint"),
+            size(col("words")).cast("long").as("n_words"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+          list_reduce(
+            list_transform(string_split($normSql, ' '),
+              w -> cast(('0x' || substr(md5(w), 1, 8)) as bigint)),
+            (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint,
+          len(string_split($normSql, ' ')) AS n_words
+        FROM documents
+        WHERE len(string_split($normSql, ' ')) >= 2
+        ORDER BY doc_id"""))
+  )
+}
