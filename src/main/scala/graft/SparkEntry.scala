@@ -16,7 +16,9 @@ object SparkEntry {
     graft.queries.Relational2,
     graft.queries.LlmText,
     graft.queries.LlmSim,
-    graft.queries.Multimodal
+    graft.queries.Multimodal,
+    graft.queries.Engine,
+    graft.streaming.StreamOps
   )
 
   private lazy val all: Map[String, Q] =

@@ -1,0 +1,219 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.{Catalog, DataTests, Model, ModelRunner}
+
+/** Gates for the engine surface (SURVEY.md §2.1): catalog discovery,
+  * relation lifecycle (CTAS / rename / drop), CSV seeds, DAG model
+  * execution, generic data tests, relation diffing, partitioned
+  * writes. Each exercises the `graft.core` engine end-to-end —
+  * materialize to a scratch database dir, read back through the
+  * catalog — and is checked against a DuckDB oracle computing the
+  * same result directly.
+  */
+object Engine extends QueryModule {
+  import Q.t
+
+  private def dsumSql(expr: String, scale: Int = 2): String =
+    s"cast(sum(cast($expr as decimal(18,$scale))) as double)"
+
+  private def scratch(name: String): String = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_db_$name")
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  def queries: Map[String, Q] = Map(
+    // ─── C2/C3/C4/C10/C11: catalog discovery + column introspection ───
+    "c_catalog" -> Q(
+      (s, dir) => {
+        val cat = new Catalog(s, dir)
+        cat.catalogTable()
+          .select(col("table_name"), col("column_name"),
+            col("ordinal_position"))
+          .orderBy(col("table_name"), col("ordinal_position"))
+      },
+      Some("""SELECT table_name, column_name,
+          cast(ordinal_position as bigint) AS ordinal_position
+        FROM information_schema.columns
+        WHERE table_name IN ('region','nation','customer','supplier','part',
+          'orders','lineitem','events','documents','embeddings')
+        ORDER BY table_name, ordinal_position""")),
+
+    // ─── C5-C8: schema + relation lifecycle (CTAS → rename → drop) ───
+    "c_lifecycle" -> Q(
+      (s, dir) => {
+        val cat = new Catalog(s, scratch("lifecycle"))
+        val src = t(s, dir, "orders")
+          .filter(col("o_totalprice") > 200000)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        cat.createSchema("staging")
+        cat.createTableAs("staging", "big_orders", src)
+        // a relation that only exists to be dropped
+        cat.createTableAs("staging", "scratch_copy", src.limit(10))
+        cat.dropRelation("staging", "scratch_copy")
+        cat.renameRelation("staging", "big_orders", "", "final_orders")
+        assert(cat.listRelations("staging").isEmpty)
+        assert(cat.listRelations("") == Seq("final_orders"))
+        cat.table("", "final_orders").orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_totalprice > 200000
+        ORDER BY o_orderkey""")),
+
+    // ─── C17: DAG model runner (ref/source templating, parallel waves) ───
+    "c_dag_model" -> Q(
+      (s, dir) => {
+        val srcCat = new Catalog(s, dir)
+        val target = new Catalog(s, scratch("dag"))
+        val runner = new ModelRunner(target,
+          (schema, table) => srcCat.table(schema, table))
+        val models = Seq(
+          Model("stg_orders",
+            """SELECT o_orderkey, o_custkey, o_totalprice
+               FROM {{ source('', 'orders') }}
+               WHERE o_orderdate >= timestamp '1996-01-01'"""),
+          Model("stg_customers",
+            """SELECT c_custkey, c_mktsegment
+               FROM {{ source('', 'customer') }}"""),
+          Model("segment_revenue",
+            """SELECT c_mktsegment,
+                 count(*) AS n_orders,
+                 cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+                   AS revenue
+               FROM {{ ref('stg_orders') }}
+               JOIN {{ ref('stg_customers') }} ON o_custkey = c_custkey
+               GROUP BY c_mktsegment"""))
+        val order = runner.run(models, threads = 3)
+        assert(order.last == "segment_revenue")
+        target.table("", "segment_revenue").orderBy(col("c_mktsegment"))
+      },
+      Some(s"""SELECT c_mktsegment, count(*) AS n_orders,
+          ${dsumSql("o_totalprice")} AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate >= timestamp '1996-01-01'
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")),
+
+    // ─── C9: CSV seed → parquet ───
+    "c_seed" -> Q(
+      (s, dir) => {
+        val cat = new Catalog(s, scratch("seed"))
+        // deterministic seed CSV generated from the nation dim
+        val rows = t(s, dir, "nation")
+          .orderBy(col("n_nationkey"))
+          .collect()
+          .map(r => s"${r.getInt(0)},${r.getString(1)},${r.getInt(2)}")
+        val csv = Paths.get(cat.database, "nation_seed.csv")
+        Files.writeString(csv,
+          ("n_nationkey,n_name,n_regionkey" +: rows.toSeq).mkString("\n"))
+        cat.seedCsv("", "nation_seed", csv.toString)
+        cat.table("", "nation_seed").orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey
+        FROM nation ORDER BY n_nationkey""")),
+
+    // ─── C12: rows-different relation diff ───
+    "c_rows_different" -> Q(
+      (s, dir) => {
+        val cat = new Catalog(s, dir)
+        val cust = t(s, dir, "customer")
+        val same = cat.rowsDifferent(cust, cust)
+          .withColumn("cmp", lit("same"))
+        val subset = cat.rowsDifferent(cust, cust.filter(col("c_custkey") > 100))
+          .withColumn("cmp", lit("subset"))
+        same.union(subset)
+          .select(col("cmp"), col("row_count_difference"),
+            col("num_mismatched"))
+          .orderBy(col("cmp"))
+      },
+      Some("""SELECT 'same' AS cmp, cast(0 as bigint) AS row_count_difference,
+          cast(0 as bigint) AS num_mismatched
+        UNION ALL
+        SELECT 'subset',
+          (SELECT count(*) FROM customer)
+            - (SELECT count(*) FROM customer WHERE c_custkey > 100),
+          (SELECT count(*) FROM customer WHERE NOT c_custkey > 100)
+        ORDER BY cmp""")),
+
+    // ─── C13: generic test `unique` (violations) ───
+    "t_unique" -> Q(
+      (s, dir) => {
+        DataTests.unique(t(s, dir, "orders"), "o_custkey")
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey, count(*) AS n_rows
+        FROM orders GROUP BY o_custkey HAVING count(*) > 1
+        ORDER BY o_custkey""")),
+
+    // ─── C14: generic test `not_null` (per-column null counts) ───
+    "t_not_null" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ord = t(s, dir, "orders")
+        Seq("o_custkey", "o_totalprice", "o_orderdate")
+          .map(c => (c, DataTests.notNull(ord, c).count()))
+          .toDF("column_name", "n_null")
+          .orderBy(col("column_name"))
+      },
+      Some("""SELECT 'o_custkey' AS column_name,
+          (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS n_null
+        UNION ALL SELECT 'o_totalprice',
+          (SELECT count(*) FROM orders WHERE o_totalprice IS NULL)
+        UNION ALL SELECT 'o_orderdate',
+          (SELECT count(*) FROM orders WHERE o_orderdate IS NULL)
+        ORDER BY column_name""")),
+
+    // ─── C15: generic test `accepted_values` ───
+    "t_accepted_values" -> Q(
+      (s, dir) => {
+        DataTests.acceptedValues(t(s, dir, "orders"), "o_orderstatus",
+          Seq("F", "O")).orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_rows
+        FROM orders WHERE o_orderstatus NOT IN ('F', 'O')
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")),
+
+    // ─── C16: generic test `relationships` (orphaned foreign keys) ───
+    "t_relationships" -> Q(
+      (s, dir) => {
+        DataTests.relationships(
+          t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part").filter(col("p_partkey") <= 100), "p_partkey")
+          .orderBy(col("l_partkey"))
+      },
+      Some("""SELECT DISTINCT l_partkey
+        FROM lineitem
+        WHERE NOT EXISTS (SELECT 1 FROM part
+                          WHERE p_partkey = l_partkey AND p_partkey <= 100)
+        ORDER BY l_partkey""")),
+
+    // ─── snk_partitioned: partitioned parquet write + pruned read-back ───
+    "c_partitioned_write" -> Q(
+      (s, dir) => {
+        val out = scratch("part") + "/orders_by_year"
+        t(s, dir, "orders")
+          .withColumn("yr", year(col("o_orderdate")))
+          .write.mode("overwrite").partitionBy("yr").parquet(out)
+        s.read.parquet(out)
+          .filter(col("yr").between(1996, 1997)) // partition pruning
+          .groupBy(col("yr").cast("long").as("yr"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+              .as("total"))
+          .orderBy(col("yr"))
+      },
+      Some(s"""SELECT cast(year(o_orderdate) as bigint) AS yr,
+          count(*) AS n, ${dsumSql("o_totalprice")} AS total
+        FROM orders
+        WHERE year(o_orderdate) BETWEEN 1996 AND 1997
+        GROUP BY yr
+        ORDER BY yr"""))
+  )
+}
