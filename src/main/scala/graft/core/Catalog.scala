@@ -30,6 +30,10 @@ import org.apache.spark.sql.types.StructField
   */
 final class Catalog(val spark: SparkSession, val database: String) {
 
+  // tolerate TIMESTAMP(NANOS) parquet columns (read as epoch-nanos
+  // longs) — Spark's reader rejects them outright otherwise
+  spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
   private def root: Path = Paths.get(database)
 
   /** View name a relation registers under (single-part identifier). */

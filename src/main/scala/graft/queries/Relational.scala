@@ -136,12 +136,12 @@ object Relational extends QueryModule {
     // ─── q5: star multi-join + agg (TPC-H Q5 shape) ───
     "q5_multijoin" -> Q(
       (s, dir) => {
-        val region = t(s, dir, "region").filter(col("r_name") === "REGION_0")
+        val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
         val nation = t(s, dir, "nation")
         val cust = t(s, dir, "customer")
         val ord = t(s, dir, "orders")
-          .filter(col("o_orderdate") >= lit("1996-01-01") &&
-            col("o_orderdate") < lit("1998-01-01"))
+          .filter(col("o_orderdate") >= lit("1995-06-01") &&
+            col("o_orderdate") < lit("1999-01-01"))
         val li = t(s, dir, "lineitem")
         val sup = t(s, dir, "supplier")
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -162,9 +162,9 @@ object Relational extends QueryModule {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
-        WHERE r_name = 'REGION_0'
-          AND o_orderdate >= timestamp '1996-01-01'
-          AND o_orderdate < timestamp '1998-01-01'
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= timestamp '1995-06-01'
+          AND o_orderdate < timestamp '1999-01-01'
         GROUP BY n_name
         ORDER BY revenue DESC, n_name""")),
 

@@ -1,0 +1,180 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Catalog, DataTests, Model, ModelRunner}
+
+class CatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshCatalog(name: String): Catalog = {
+    val dir = Files.createTempDirectory(s"graft_test_$name")
+    new Catalog(spark, dir.toString)
+  }
+
+  test("schema lifecycle: create, list, exists, drop") {
+    val cat = freshCatalog("schemas")
+    assert(cat.listSchemas() == Seq(""))
+    cat.createSchema("staging")
+    cat.createSchema("marts")
+    assert(cat.listSchemas() == Seq("", "marts", "staging"))
+    assert(cat.schemaExists("staging"))
+    cat.dropSchema("staging")
+    assert(cat.listSchemas() == Seq("", "marts"))
+  }
+
+  test("ctas materializes, registers a view, and is atomic-overwritable") {
+    val cat = freshCatalog("ctas")
+    import spark.implicits._
+    cat.createTableAs("", "nums", Seq(1, 2, 3).toDF("n"))
+    assert(cat.listRelations("") == Seq("nums"))
+    assert(cat.sql("select sum(n) as s from nums").head().getLong(0) == 6)
+    // overwrite in place
+    cat.createTableAs("", "nums", Seq(10, 20).toDF("n"))
+    assert(cat.table("", "nums").count() == 2)
+  }
+
+  test("single-file mode writes exactly one .parquet file") {
+    val cat = freshCatalog("single")
+    import spark.implicits._
+    cat.createTableAs("", "one", (1 to 100).toDF("n").repartition(4),
+      singleFile = true)
+    val p = cat.relationPath("", "one")
+    assert(Files.isRegularFile(p), s"$p should be a plain file")
+    assert(cat.table("", "one").count() == 100)
+  }
+
+  test("rename moves the file and re-registers the view") {
+    val cat = freshCatalog("rename")
+    import spark.implicits._
+    cat.createSchema("staging")
+    cat.createTableAs("staging", "a", Seq(1).toDF("n"))
+    cat.renameRelation("staging", "a", "", "b")
+    assert(cat.listRelations("staging").isEmpty)
+    assert(cat.listRelations("") == Seq("b"))
+    assert(cat.sql("select * from b").count() == 1)
+  }
+
+  test("drop relation removes file and view") {
+    val cat = freshCatalog("drop")
+    import spark.implicits._
+    cat.createTableAs("", "gone", Seq(1).toDF("n"))
+    cat.dropRelation("", "gone")
+    assert(cat.listRelations("").isEmpty)
+    assert(!Files.exists(cat.relationPath("", "gone")))
+  }
+
+  test("columnsOf reads the parquet footer schema") {
+    val cat = new Catalog(spark, TestSpark.SF)
+    val cols = cat.columnsOf("", "region").map(_.name)
+    assert(cols == Seq("r_regionkey", "r_name"))
+  }
+
+  test("seedCsv infers schema and materializes parquet") {
+    val cat = freshCatalog("seed")
+    val csv = Paths.get(cat.database, "pets.csv")
+    Files.writeString(csv, "id,name,weight\n1,rex,12.5\n2,tom,4.2\n")
+    cat.seedCsv("", "pets", csv.toString)
+    val df = cat.table("", "pets")
+    assert(df.count() == 2)
+    assert(df.schema("id").dataType.typeName == "integer")
+    assert(df.schema("weight").dataType.typeName == "double")
+  }
+
+  test("rowsDifferent: identical and differing relations") {
+    val cat = freshCatalog("diff")
+    import spark.implicits._
+    val a = Seq(1, 2, 3).toDF("n")
+    val same = cat.rowsDifferent(a, a).head()
+    assert(same.getLong(0) == 0 && same.getLong(1) == 0)
+    val diff = cat.rowsDifferent(a, a.filter($"n" > 1)).head()
+    assert(diff.getLong(0) == 1 && diff.getLong(1) == 1)
+  }
+
+  test("current_timestamp is available for snapshot time (C18)") {
+    val now = spark.sql("select current_timestamp()").head().getTimestamp(0)
+    assert(now.getTime > 0L)
+  }
+}
+
+class ModelRunnerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def runner(): (Catalog, ModelRunner) = {
+    val dir = Files.createTempDirectory("graft_test_dag")
+    val target = new Catalog(spark, dir.toString)
+    val src = new Catalog(spark, TestSpark.SF)
+    (target, new ModelRunner(target, (sc, tb) => src.table(sc, tb)))
+  }
+
+  test("dependency parsing") {
+    val m = Model("x",
+      "select * from {{ ref('a') }} join {{ ref('b') }} " +
+        "join {{ source('raw', 'orders') }}")
+    assert(m.refs == Seq("a", "b"))
+    assert(m.sources == Seq(("raw", "orders")))
+  }
+
+  test("topological execution with parallel waves") {
+    val (target, r) = runner()
+    val order = r.run(Seq(
+      Model("final", "select count(*) as n from {{ ref('mid') }}"),
+      Model("mid", "select * from {{ ref('base') }} where r_regionkey > 0"),
+      Model("base", "select * from {{ source('', 'region') }}")),
+      threads = 2)
+    assert(order == Seq("base", "mid", "final"))
+    assert(target.table("", "final").head().getLong(0) == 4)
+  }
+
+  test("cycle detection") {
+    val (_, r) = runner()
+    val e = intercept[IllegalArgumentException] {
+      r.run(Seq(
+        Model("a", "select * from {{ ref('b') }}"),
+        Model("b", "select * from {{ ref('a') }}")))
+    }
+    assert(e.getMessage.contains("cycle"))
+  }
+
+  test("unknown ref rejected") {
+    val (_, r) = runner()
+    val e = intercept[IllegalArgumentException] {
+      r.run(Seq(Model("a", "select * from {{ ref('nope') }}")))
+    }
+    assert(e.getMessage.contains("unknown model"))
+  }
+}
+
+class DataTestsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("unique flags duplicated values only") {
+    val df = Seq(1, 2, 2, 3, 3, 3).toDF("k")
+    val v = DataTests.unique(df, "k").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(v == Map(2 -> 2L, 3 -> 3L))
+  }
+
+  test("notNull returns null rows") {
+    val df = Seq(Some(1), None, Some(3), None).toDF("k")
+    assert(DataTests.notNull(df, "k").count() == 2)
+  }
+
+  test("acceptedValues reports offenders with counts") {
+    val df = Seq("a", "b", "x", "x").toDF("v")
+    val v = DataTests.acceptedValues(df, "v", Seq("a", "b")).collect()
+    assert(v.length == 1 && v.head.getString(0) == "x" && v.head.getLong(1) == 2)
+  }
+
+  test("relationships finds orphans") {
+    val child = Seq(1, 2, 3, 9).toDF("fk")
+    val parent = Seq(1, 2, 3).toDF("pk")
+    val orphans = DataTests.relationships(child, "fk", parent, "pk")
+      .collect().map(_.getInt(0))
+    assert(orphans.toSeq == Seq(9))
+  }
+}
