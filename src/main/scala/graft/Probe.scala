@@ -13,7 +13,14 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (name <- args; i <- 1 to 2) {
+    val explain = args.headOption.contains("--explain")
+    val names = if (explain) args.tail else args
+    if (explain) {
+      for (name <- names) {
+        println(s"========== $name ==========")
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      }
+    } else for (name <- names; i <- 1 to 2) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       println(f"[probe] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")

@@ -39,14 +39,14 @@ object LlmSim extends QueryModule {
   private val DEC = DecimalType(18, 15)
 
   /** Exact (order-independent) dot product of two float arrays:
-    * per-position double product (exact: 24-bit × 24-bit mantissas)
-    * cast to decimal(30,15), folded with exact decimal addition.
+    * per-position double products rounded onto a 15-decimal grid and
+    * summed with exact integer arithmetic — equivalent to
+    * `sum(cast(x*y as decimal(18,15)))` but as a native codegen'd
+    * expression ([[graft.functions.FloatVecDot]]) instead of an
+    * interpreted higher-order fold.
     */
   private def dotDec(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(DEC)),
-      lit(0).cast(DEC),
-      (acc, p) => (acc + p).cast(DEC)).cast("double")
+    graft.functions.FloatVecDot.dot(a, b)
 
   /** Word-trigram shingles of the normalized text, hashed into [0, 2^30). */
   private def shingles(docs: DataFrame): DataFrame =
