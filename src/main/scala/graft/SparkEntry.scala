@@ -14,6 +14,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     graft.queries.Relational,
     graft.queries.Relational2,
+    graft.queries.Relational3,
     graft.queries.LlmText,
     graft.queries.LlmSim,
     graft.queries.Multimodal,

@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
+
+/** Relational operator inventory, part 3 (SURVEY.md §2.2 additions):
+  * JSON extraction, extra TPC-H predicate shapes (disjunctive
+  * predicate groups, NOT IN, correlated per-group scalar subqueries,
+  * IN-over-HAVING), and ORC / JSON source-sink roundtrips.
+  */
+object Relational3 extends QueryModule {
+  import Q.t
+
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+  private def dsumSql(expr: String, scale: Int = 2): String =
+    s"cast(sum(cast($expr as decimal(18,$scale))) as double)"
+
+  private def scratch(name: String): String = {
+    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_db_$name")
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
+  def queries: Map[String, Q] = Map(
+    // ─── q40: JSON extraction (semi-structured column) ───
+    "q40_json" -> Q(
+      (s, dir) => {
+        Q.events(s, dir)
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy((col("k") % 10).as("k_mod"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
+          .orderBy(col("k_mod"))
+      },
+      Some("""SELECT cast(json_extract_string(props, '$.k') as bigint) % 10
+            AS k_mod,
+          count(*) AS n,
+          cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint)
+            AS k_sum
+        FROM events
+        GROUP BY k_mod
+        ORDER BY k_mod""")),
+
+    // ─── q41: disjunctive predicate groups (TPC-H Q19 shape) ───
+    "q41_disjunctive" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val part = t(s, dir, "part")
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 20)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+              col("l_quantity").between(10, 30)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+              col("l_quantity").between(20, 50)))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"), count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT
+          ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+          count(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 20 AND 50)""")),
+
+    // ─── q42: NOT IN subquery (TPC-H Q16 flavor) ───
+    "q42_not_in" -> Q(
+      (s, dir) => {
+        val sup = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey"))
+        val li = t(s, dir, "lineitem")
+        li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"),
+            "left_anti")
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n_items"))
+          .orderBy(col("l_suppkey"))
+      },
+      Some("""SELECT l_suppkey, count(*) AS n_items
+        FROM lineitem
+        WHERE l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY l_suppkey
+        ORDER BY l_suppkey""")),
+
+    // ─── q43: correlated per-group scalar subquery (TPC-H Q17 shape) ───
+    // Decorrelated the scale-safe way: compute the per-part threshold
+    // once with one aggregation, broadcast it back — no per-row
+    // subquery execution.
+    "q43_avg_subquery" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val thresholds = li.groupBy(col("l_partkey").as("t_partkey"))
+          .agg(((sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+            / count(col("l_quantity"))) * 0.5).as("half_avg_qty"))
+        li.join(broadcast(thresholds),
+            col("l_partkey") === col("t_partkey"))
+          .filter(col("l_quantity") < col("half_avg_qty"))
+          .agg(dsum(col("l_extendedprice")).as("total_price"),
+            count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT ${dsumSql("l_extendedprice")} AS total_price,
+          count(*) AS n
+        FROM lineitem l1
+        WHERE l_quantity < (
+          SELECT cast(sum(cast(l_quantity as decimal(18,2))) as double)
+                   / count(l_quantity) * 0.5
+          FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""")),
+
+    // ─── q44: IN subquery over a HAVING aggregate (TPC-H Q18 shape) ───
+    "q44_in_having" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val bigOrders = li.groupBy(col("l_orderkey").as("bo_orderkey"))
+          .agg(dsum(col("l_quantity")).as("sum_qty"))
+          .filter(col("sum_qty") > 150)
+        val ord = t(s, dir, "orders")
+        ord.join(bigOrders, col("o_orderkey") === col("bo_orderkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("sum_qty"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some(s"""SELECT o_orderkey, o_custkey, o_totalprice, sum_qty
+        FROM orders JOIN (
+          SELECT l_orderkey AS bo_orderkey,
+            ${dsumSql("l_quantity")} AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum_qty > 150
+        ) ON o_orderkey = bo_orderkey
+        ORDER BY o_orderkey""")),
+
+    // ─── src/snk: ORC roundtrip ───
+    "c_orc_roundtrip" -> Q(
+      (s, dir) => {
+        val out = scratch("orc") + "/customer_orc"
+        t(s, dir, "customer").write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("total_bal"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""SELECT c_mktsegment, count(*) AS n,
+          ${dsumSql("c_acctbal")} AS total_bal
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")),
+
+    // ─── src/snk: JSON-lines roundtrip ───
+    "c_json_roundtrip" -> Q(
+      (s, dir) => {
+        val out = scratch("json") + "/supplier_json"
+        t(s, dir, "supplier").write.mode("overwrite").json(out)
+        val schema = StructType(Seq(
+          StructField("s_suppkey", LongType),
+          StructField("s_name", org.apache.spark.sql.types.StringType),
+          StructField("s_nationkey",
+            org.apache.spark.sql.types.IntegerType),
+          StructField("s_acctbal",
+            org.apache.spark.sql.types.DoubleType)))
+        s.read.schema(schema).json(out)
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+            col("s_acctbal"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        FROM supplier ORDER BY s_suppkey"""))
+  )
+}
