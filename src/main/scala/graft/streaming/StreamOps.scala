@@ -1,7 +1,12 @@
 package graft.streaming
 
+import java.time.{Instant, LocalDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
+import java.time.temporal.ChronoUnit
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.queries.{Q, QueryModule}
@@ -14,7 +19,52 @@ import graft.queries.{Q, QueryModule}
   * would run `writeStream` against a live directory at scale; here
   * `processAllAvailable` drains the one static file synchronously).
   */
+
 object StreamOps extends QueryModule {
+
+  /** One event inside the stateful sessionizer. */
+  final case class SessEvent(user_id: Long, event_id: Long, ts_us: Long)
+
+  /** One emitted session. */
+  final case class Session(user_id: Long, sess_id: Long, n_events: Long,
+      sess_start: String, sess_end: String)
+
+  private val SessionGapUs = 1800000000L // 30 min
+  private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  private def fmt(us: Long): String =
+    LocalDateTime.ofInstant(
+      Instant.EPOCH.plus(us, ChronoUnit.MICROS), ZoneOffset.UTC).format(TsFmt)
+
+  /** Gap-based sessionizer over one user's events. With a live stream
+    * this state function carries open sessions across micro-batches;
+    * the single-batch drain here sees each user's full history at
+    * once, so the state closes immediately.
+    */
+  private def sessionize(user: Long, events: Iterator[SessEvent],
+      state: GroupState[Long]): Iterator[Session] = {
+    val sorted = events.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val out = Seq.newBuilder[Session]
+      var sessId = 0L
+      var start = sorted.head.ts_us
+      var last = start
+      var n = 0L
+      for (e <- sorted) {
+        if (n > 0L && e.ts_us - last > SessionGapUs) {
+          out += Session(user, sessId + 1, n, fmt(start), fmt(last))
+          sessId += 1
+          start = e.ts_us
+          n = 0L
+        }
+        last = e.ts_us
+        n += 1
+      }
+      out += Session(user, sessId + 1, n, fmt(start), fmt(last))
+      out.result().iterator
+    }
+  }
 
   def queries: Map[String, Q] = Map(
     "q39_stream_window" -> Q(
@@ -55,6 +105,62 @@ object StreamOps extends QueryModule {
           cast(sum(cast(value as decimal(18,6))) as double) AS total_value
         FROM events
         GROUP BY hour, event_type
-        ORDER BY hour, event_type"""))
+        ORDER BY hour, event_type""")),
+
+    // ─── stateful streaming: gap sessionization via
+    // flatMapGroupsWithState (same semantics as batch q37, so the
+    // driver replays q37's windowed-SQL oracle against it) ───
+    "q45_stream_sessionize" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val raw = s.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+        val ev = (schema("ts").dataType match {
+          case LongType =>
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _ => raw
+        }).filter(col("user_id") <= 50)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"))
+          .as[SessEvent]
+        val sessions = ev.groupByKey(_.user_id)
+          .flatMapGroupsWithState(OutputMode.Append,
+            GroupStateTimeout.NoTimeout)(sessionize)
+        val qname = "graft_q45_sink"
+        s.streams.active.filter(_.name == qname).foreach(_.stop())
+        val query = sessions.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(qname)
+          .start()
+        try query.processAllAvailable() finally query.stop()
+        s.table(qname)
+          .select(col("user_id"), col("sess_id"), col("n_events"),
+            col("sess_start"), col("sess_end"))
+          .orderBy(col("user_id"), col("sess_id"))
+      },
+      Some("""WITH flagged AS (
+          SELECT user_id, event_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                 THEN 1 ELSE 0 END AS new_sess
+          FROM events WHERE user_id <= 50
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessions AS (
+          SELECT user_id, event_id, ts,
+            cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+              AS sess_id
+          FROM flagged)
+        SELECT user_id, sess_id, count(*) AS n_events,
+          strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+          strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_end
+        FROM sessions
+        GROUP BY user_id, sess_id
+        ORDER BY user_id, sess_id"""))
   )
 }

@@ -28,6 +28,16 @@ class FloatVecDotSpec extends AnyFunSuite {
     }
   }
 
+  test("callable from SQL once registered via GraftExtensions") {
+    GraftExtensions.registerFunctions(spark)
+    spark.read.parquet(s"${TestSpark.SF}/embeddings.parquet")
+      .createOrReplaceTempView("emb_fvd")
+    val d = spark.sql(
+      "select float_vec_dot(embedding, embedding) from emb_fvd where vec_id = 0")
+      .head().getDouble(0)
+    assert(math.abs(d - 1.0) < 0.2, s"self-dot of unit vector was $d")
+  }
+
   test("null input yields null") {
     val df = spark.sql(
       "select cast(null as array<float>) as a, array(cast(1.0 as float)) as b")
