@@ -136,6 +136,39 @@ object Relational3 extends QueryModule {
         ) ON o_orderkey = bo_orderkey
         ORDER BY o_orderkey""")),
 
+    // ─── bucketed tables: co-located join with no shuffle ───
+    // Both sides are written bucketed+sorted on the join key, so the
+    // join plans as a SortMergeJoin over the bucket layout with NO
+    // Exchange on either side (asserted in BucketedJoinSpec) — the
+    // canonical way to amortize the shuffle of a repeated 100 TB join
+    // into a one-time write.
+    "c_bucketed_join" -> Q(
+      (s, dir) => {
+        val base = scratch("bucketed")
+        t(s, dir, "orders")
+          .write.mode("overwrite")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", s"$base/orders_b").format("parquet")
+          .saveAsTable("graft_orders_b")
+        t(s, dir, "customer")
+          .write.mode("overwrite")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .option("path", s"$base/customer_b").format("parquet")
+          .saveAsTable("graft_customer_b")
+        s.table("graft_orders_b")
+          .join(s.table("graft_customer_b"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("revenue"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""SELECT c_mktsegment, count(*) AS n_orders,
+          ${dsumSql("o_totalprice")} AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")),
+
     // ─── src/snk: ORC roundtrip ───
     "c_orc_roundtrip" -> Q(
       (s, dir) => {
