@@ -136,6 +136,67 @@ object Relational3 extends QueryModule {
         ) ON o_orderkey = bo_orderkey
         ORDER BY o_orderkey""")),
 
+    // ─── q46: per-group top-k via a typed mergeable Aggregator ───
+    // Partial buffers carry at most k pairs per group, so the
+    // aggregation ships k rows per group per partition — unlike the
+    // window formulation (the oracle), which sorts whole partitions.
+    "q46_topk_agg" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val topk = new graft.functions.TopKAggregator(3).toColumn
+        t(s, dir, "customer")
+          .select(col("c_nationkey").cast("long"), col("c_acctbal"),
+            col("c_custkey"))
+          .as[(Long, Double, Long)]
+          .groupByKey(_._1)
+          .mapValues(r => (r._2, r._3))
+          .agg(topk)
+          .flatMap { case (nk, ids) =>
+            ids.zipWithIndex.map { case (id, i) => (nk, id, i + 1L) }
+          }
+          .toDF("nationkey", "custkey", "rank")
+          .orderBy(col("nationkey"), col("rank"))
+      },
+      Some("""SELECT cast(c_nationkey as bigint) AS nationkey,
+          c_custkey AS custkey, rank
+        FROM (
+          SELECT c_nationkey, c_custkey,
+            row_number() OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal DESC, c_custkey) AS rank
+          FROM customer)
+        WHERE rank <= 3
+        ORDER BY nationkey, rank""")),
+
+    // ─── q47: salted join (skew mitigation pattern) ───
+    // l_returnflag has 3 hot values; the salt spreads each hot key
+    // over 8 shuffle partitions (probe side hashed, build side
+    // replicated ×8) — the standard fix when the hot side is too big
+    // to broadcast and AQE's skew split isn't enough. Results are
+    // salt-invariant, which is exactly what the oracle checks.
+    "q47_salted_join" -> Q(
+      (s, dir) => {
+        val SALTS = 8
+        val li = t(s, dir, "lineitem")
+          .withColumn("salt",
+            pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(SALTS)))
+        val dim = t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag")).distinct()
+          .withColumn("flag_label", concat(lit("flag_"), col("flag")))
+          .withColumn("salt",
+            explode(sequence(lit(0L), lit(SALTS - 1L))))
+        li.join(dim,
+            col("l_returnflag") === col("flag") && li("salt") === dim("salt"))
+          .groupBy(col("flag_label"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("l_extendedprice")).as("total"))
+          .orderBy(col("flag_label"))
+      },
+      Some(s"""SELECT 'flag_' || l_returnflag AS flag_label,
+          count(*) AS n, ${dsumSql("l_extendedprice")} AS total
+        FROM lineitem
+        GROUP BY flag_label
+        ORDER BY flag_label""")),
+
     // ─── bucketed tables: co-located join with no shuffle ───
     // Both sides are written bucketed+sorted on the join key, so the
     // join plans as a SortMergeJoin over the bucket layout with NO
