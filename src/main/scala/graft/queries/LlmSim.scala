@@ -67,7 +67,7 @@ object LlmSim extends QueryModule {
     // jaccard verification is the same computation d3 oracles.)
     "d2_dedup_minhash" -> Q(
       (s, dir) => {
-        val tri = shingles(t(s, dir, "documents")).cache()
+        val tri = shingles(t(s, dir, "documents"))
         // 16 minhashes per doc, one shuffle
         val mhAggs = minhashCoef.zipWithIndex.map { case ((a, b), i) =>
           min(pmod(col("sh30") * a + b, lit(P30))).as(s"mh_$i")
