@@ -75,6 +75,41 @@ object LlmText extends QueryModule {
         GROUP BY lang
         ORDER BY lang""")),
 
+    // ─── d1b: dedup actually removing duplicates ───
+    // Input = documents ∪ re-tagged copies of every 7th document; the
+    // dedup must keep exactly the original corpus (min doc_id per
+    // normalized-text group survives).
+    "d1b_dedup_union" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("text"))
+        val copies = docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+            col("text"))
+        val unioned = docs.union(copies)
+          .withColumn("sig", md5(norm(col("text"))))
+        val keep = unioned.groupBy(col("sig"))
+          .agg(min(col("doc_id")).as("keep_id"))
+        unioned.join(keep, "sig")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_input"),
+            sum(when(col("doc_id") === col("keep_id"), 1L).otherwise(0L))
+              .as("n_survivors"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH unioned AS (
+          SELECT doc_id, lang, md5($normSql) AS sig FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, lang, md5($normSql) FROM documents
+          WHERE doc_id % 7 = 0),
+        keep AS (SELECT sig, min(doc_id) AS keep_id FROM unioned GROUP BY sig)
+        SELECT lang, count(*) AS n_input,
+          cast(sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) as bigint)
+            AS n_survivors
+        FROM unioned JOIN keep USING (sig)
+        GROUP BY lang
+        ORDER BY lang""")),
+
     // ─── d3: exact n-gram Jaccard pair similarity (oracle for the
     // LSH candidates in d2; capped subset keeps the O(n²) oracle feasible) ───
     "d3_ngram_jaccard" -> Q(
