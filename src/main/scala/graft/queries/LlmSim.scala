@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
 /** Near-duplicate detection + similarity search for LLM training-data
-  * pipelines (SURVEY.md §2.3: d2, d4, d5, s1, s2).
+  * pipelines (SURVEY.md §2.3: d2, d4, d5, s1, s2, s3).
   *
   * Scale design: every candidate-generation step is a hash-shuffle on
   * a small key (band value / bit chunk / bucket id) — the quadratic
@@ -295,6 +295,55 @@ object LlmSim extends QueryModule {
           round(dotDec(col("qv"), col("cv")) /
             (sqrt(dotDec(col("qv"), col("qv"))) *
               sqrt(dotDec(col("cv"), col("cv")))), 12).as("cosine"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("cand_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("cand_id"), col("cosine"),
+            col("rank").cast("long").as("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // ─── s3: IVF-bucketed approximate top-k (rows-only; recall vs s1
+    // asserted in AnnSpec) ───
+    // Coarse quantizer: 16 fixed "centroid" vectors (the first 16
+    // corpus vectors — deterministic; a production build would run
+    // k-means once offline). Every vector is assigned to its nearest
+    // centroid in one projection; a query probes its 2 nearest
+    // centroid cells and scores exactly only inside them. At 100 TB
+    // the inverted lists are just a partition key — candidate volume
+    // per query is |corpus| * nprobe / ncells.
+    "s3_ann_ivf" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val centroids = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"),
+            col("embedding").as("cent_v"))
+        def assign(df: DataFrame, vec: Column, nprobe: Int,
+            idCol: String): DataFrame = {
+          val w = Window.partitionBy(col(idCol))
+            .orderBy(col("cent_dot").desc, col("cent_id"))
+          df.join(broadcast(centroids))
+            .withColumn("cent_dot", dotDec(vec, col("cent_v")))
+            .withColumn("cent_rank", row_number().over(w))
+            .filter(col("cent_rank") <= nprobe)
+            .drop("cent_v", "cent_dot", "cent_rank")
+        }
+        val cands = assign(
+          e.filter(col("vec_id") >= 10)
+            .select(col("vec_id").as("cand_id"), col("embedding").as("cv")),
+          col("cv"), nprobe = 1, idCol = "cand_id")
+        val queries = assign(
+          e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+          col("qv"), nprobe = 2, idCol = "query_id")
+        val scored = queries.join(cands, Seq("cent_id"))
+          .select(col("query_id"), col("cand_id"),
+            round(dotDec(col("qv"), col("cv")) /
+              (sqrt(dotDec(col("qv"), col("qv"))) *
+                sqrt(dotDec(col("cv"), col("cv")))), 12).as("cosine"))
+          .distinct()
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("cand_id"))
         scored.withColumn("rank", row_number().over(w))

@@ -15,7 +15,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only by design: engine-specific hashing / approximation
     assert(noOracle == Set("q27b_approx_countd", "d2_dedup_minhash",
-      "d4_dedup_simhash", "s2_ann_lsh"))
+      "d4_dedup_simhash", "s2_ann_lsh", "s3_ann_ivf"))
   }
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
@@ -32,15 +32,25 @@ class QueriesSmokeSpec extends AnyFunSuite {
 class AnnSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  test("s2_ann_lsh recall vs s1_ann_brute") {
+  private def recallOf(name: String): Double = {
     val brute = SparkEntry.queries("s1_ann_brute")(spark, TestSpark.SF)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = SparkEntry.queries("s2_ann_lsh")(spark, TestSpark.SF)
+    val approx = SparkEntry.queries(name)(spark, TestSpark.SF)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(lsh.nonEmpty, "LSH produced no results")
-    val recall = (brute intersect lsh).size.toDouble / brute.size
-    info(f"recall@5 = $recall%.2f (${lsh.size} LSH hits)")
-    assert(recall > 0.0, "LSH found none of the true top-5 neighbors")
+    assert(approx.nonEmpty, s"$name produced no results")
+    val recall = (brute intersect approx).size.toDouble / brute.size
+    info(f"$name recall@5 = $recall%.2f (${approx.size} hits)")
+    recall
+  }
+
+  test("s2_ann_lsh recall vs s1_ann_brute") {
+    assert(recallOf("s2_ann_lsh") > 0.0,
+      "LSH found none of the true top-5 neighbors")
+  }
+
+  test("s3_ann_ivf recall vs s1_ann_brute") {
+    assert(recallOf("s3_ann_ivf") > 0.0,
+      "IVF found none of the true top-5 neighbors")
   }
 }
 
