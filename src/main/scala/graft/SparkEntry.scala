@@ -15,6 +15,7 @@ object SparkEntry {
     graft.queries.Relational,
     graft.queries.Relational2,
     graft.queries.Relational3,
+    graft.queries.Relational4,
     graft.queries.LlmText,
     graft.queries.LlmSim,
     graft.queries.Multimodal,

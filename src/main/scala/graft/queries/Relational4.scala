@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator inventory, part 4 (SURVEY.md §2.2 additions):
+  * ordered string aggregation, nested types (struct / map), multiset
+  * set-ops, deterministic sampling, null-ordering semantics.
+  */
+object Relational4 extends QueryModule {
+  import Q.t
+
+  def queries: Map[String, Q] = Map(
+    // ─── q48: ordered string aggregation + collect_set ───
+    "q48_string_agg" -> Q(
+      (s, dir) => {
+        val joined = t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+        joined.groupBy(col("r_name"))
+          .agg(
+            array_join(array_sort(collect_list(col("n_name"))), ",")
+              .as("nations_csv"),
+            size(array_distinct(collect_list(col("n_regionkey"))))
+              .cast("long").as("n_distinct_keys"))
+          .orderBy(col("r_name"))
+      },
+      Some("""SELECT r_name,
+          string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+          count(DISTINCT n_regionkey) AS n_distinct_keys
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name""")),
+
+    // ─── q49: nested types — struct build/access, map access ───
+    "q49_struct_map" -> Q(
+      (s, dir) => {
+        t(s, dir, "region")
+          .select(col("r_regionkey"),
+            struct(col("r_name").as("name"),
+              col("r_regionkey").as("key")).as("region_struct"),
+            struct(col("r_name").as("name"),
+              col("r_regionkey").as("key")).getField("name")
+              .as("struct_name"),
+            element_at(
+              map(lit(1), lit("one"), lit(2), lit("two")),
+              (col("r_regionkey") % 2 + 1).cast("int")).as("map_val"))
+          .orderBy(col("r_regionkey"))
+      },
+      Some("""SELECT r_regionkey,
+          {'name': r_name, 'key': r_regionkey} AS region_struct,
+          {'name': r_name, 'key': r_regionkey}.name AS struct_name,
+          map([1, 2], ['one', 'two'])[cast(r_regionkey % 2 + 1 as int)][1]
+            AS map_val
+        FROM region
+        ORDER BY r_regionkey""")),
+
+    // ─── q50: deterministic key-hash sampling ───
+    // The portable stand-in for TABLESAMPLE: a pure function of the
+    // key selects a stable ~10% sample on any engine, any run, any
+    // partitioning — which is what reproducible pipeline sampling
+    // needs anyway.
+    "q50_sample" -> Q(
+      (s, dir) => {
+        t(s, dir, "orders")
+          .filter(pmod(col("o_orderkey") * 2654435761L, lit(100)) < 10)
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+              .as("sampled_total"))
+      },
+      Some("""SELECT count(*) AS n_sampled,
+          cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+            AS sampled_total
+        FROM orders
+        WHERE (o_orderkey * 2654435761) % 100 < 10""")),
+
+    // ─── q51: multiset set operations (ALL variants) ───
+    "q51_setops_all" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val a = li.filter(col("l_orderkey") <= 1000)
+          .select(col("l_partkey"))
+        val b = li.filter(col("l_orderkey").between(500, 1500))
+          .select(col("l_partkey"))
+        val inter = a.intersectAll(b).agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("intersect_all"))
+        val exc = a.exceptAll(b).agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("except_all"))
+        inter.union(exc).select(col("op"), col("n")).orderBy(col("op"))
+      },
+      Some("""WITH a AS (SELECT l_partkey FROM lineitem WHERE l_orderkey <= 1000),
+             b AS (SELECT l_partkey FROM lineitem
+                   WHERE l_orderkey BETWEEN 500 AND 1500)
+        SELECT 'intersect_all' AS op, count(*) AS n
+          FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        UNION ALL
+        SELECT 'except_all' AS op, count(*) AS n
+          FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        ORDER BY op""")),
+
+    // ─── q52: string utilities round 2 ───
+    "q52_string_funcs2" -> Q(
+      (s, dir) => {
+        t(s, dir, "part").filter(col("p_partkey") <= 100)
+          .select(col("p_partkey"),
+            split_part(col("p_name"), lit(" "), lit(2)).as("second_word"),
+            translate(col("p_name"), "aeiou", "AEIOU").as("vowels_up"),
+            col("p_name").startsWith("cold").as("is_cold"),
+            col("p_name").endsWith("widget").as("is_widget"),
+            format_string("%s [%d]", col("p_brand"), col("p_size"))
+              .as("labeled"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey,
+          split_part(p_name, ' ', 2) AS second_word,
+          translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+          starts_with(p_name, 'cold') AS is_cold,
+          ends_with(p_name, 'widget') AS is_widget,
+          printf('%s [%d]', p_brand, p_size) AS labeled
+        FROM part WHERE p_partkey <= 100
+        ORDER BY p_partkey""")),
+
+    // ─── q53: null ordering semantics (order captured as a rank column) ───
+    "q53_null_order" -> Q(
+      (s, dir) => {
+        val withNulls = t(s, dir, "orders").filter(col("o_orderkey") <= 100)
+          .select(col("o_orderkey"),
+            nullif(col("o_orderstatus"), lit("P")).as("st"))
+        withNulls.select(col("o_orderkey"), col("st"),
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("st").asc_nulls_first, col("o_orderkey")))
+              .cast("long").as("rank_nulls_first"),
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("st").asc_nulls_last, col("o_orderkey")))
+              .cast("long").as("rank_nulls_last"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st,
+          row_number() OVER (ORDER BY nullif(o_orderstatus, 'P')
+            ASC NULLS FIRST, o_orderkey) AS rank_nulls_first,
+          row_number() OVER (ORDER BY nullif(o_orderstatus, 'P')
+            ASC NULLS LAST, o_orderkey) AS rank_nulls_last
+        FROM orders WHERE o_orderkey <= 100
+        ORDER BY o_orderkey"""))
+  )
+}
