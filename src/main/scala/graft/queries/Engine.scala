@@ -66,6 +66,41 @@ object Engine extends QueryModule {
         FROM orders WHERE o_totalprice > 200000
         ORDER BY o_orderkey""")),
 
+    // ─── C8 (single-file mode): byte-compatible one-file-per-table CTAS ───
+    "c_single_file" -> Q(
+      (s, dir) => {
+        val cat = new Catalog(s, scratch("single"))
+        cat.createTableAs("", "nation_sf",
+          t(s, dir, "nation").repartition(4), singleFile = true)
+        val p = cat.relationPath("", "nation_sf")
+        assert(java.nio.file.Files.isRegularFile(p),
+          s"$p must be one plain parquet file")
+        cat.table("", "nation_sf")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey
+        FROM nation ORDER BY n_nationkey""")),
+
+    // ─── src/snk: CSV write + schema'd read roundtrip ───
+    "c_csv_roundtrip" -> Q(
+      (s, dir) => {
+        val out = scratch("csv") + "/part_csv"
+        t(s, dir, "part").write.mode("overwrite")
+          .option("header", "true").csv(out)
+        s.read.option("header", "true").option("inferSchema", "true").csv(out)
+          .groupBy(col("p_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("p_retailprice").cast(DecimalType(18, 2))).cast("double")
+              .as("total_price"))
+          .orderBy(col("p_type"))
+      },
+      Some(s"""SELECT p_type, count(*) AS n,
+          ${dsumSql("p_retailprice")} AS total_price
+        FROM part
+        GROUP BY p_type
+        ORDER BY p_type""")),
+
     // ─── C17: DAG model runner (ref/source templating, parallel waves) ───
     "c_dag_model" -> Q(
       (s, dir) => {
