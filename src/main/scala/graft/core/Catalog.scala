@@ -174,6 +174,28 @@ final class Catalog(val spark: SparkSession, val database: String) {
   def createViewAs(schema: String, tableName: String, df: DataFrame): Unit =
     createTableAs(schema, tableName, df)
 
+  /** Compact a relation to `numFiles` part files — the maintenance op
+    * a 100 TB deployment runs after many small incremental writes (the
+    * small-files problem). Same atomic tmp+rename swap as CTAS.
+    */
+  def compact(schema: String, tableName: String, numFiles: Int): Unit =
+    createTableAs(schema, tableName,
+      table(schema, tableName).repartition(numFiles))
+
+  /** Materialize range-clustered on `clusterCols`: rows are range-
+    * partitioned and sorted within partitions, so parquet row-group
+    * min/max statistics become selective and scans with predicates on
+    * the cluster columns skip most of the file — the poor-man's
+    * Z-order, and the right default for append-only fact tables.
+    */
+  def createTableClusteredBy(schema: String, tableName: String,
+      df: DataFrame, numFiles: Int, clusterCols: Seq[String]): Unit = {
+    val cols = clusterCols.map(df.col)
+    createTableAs(schema, tableName,
+      df.repartitionByRange(numFiles, cols: _*)
+        .sortWithinPartitions(cols: _*))
+  }
+
   /** CSV seed ingestion (reference: impl.py load_dataframe +
     * macros/seed.sql): header + schema inference, materialized as
     * parquet, registered as a view.

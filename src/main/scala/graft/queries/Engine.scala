@@ -101,6 +101,33 @@ object Engine extends QueryModule {
         GROUP BY p_type
         ORDER BY p_type""")),
 
+    // ─── maintenance: small-file compaction + range-clustered write ───
+    "c_compact_cluster" -> Q(
+      (s, dir) => {
+        val cat = new Catalog(s, scratch("compact"))
+        // simulate a fragmented table (many small files), compact it,
+        // then re-materialize clustered by ship date
+        cat.createTableAs("", "li_frag",
+          t(s, dir, "lineitem").repartition(64))
+        cat.compact("", "li_frag", 4)
+        assert(java.nio.file.Files.list(cat.relationPath("", "li_frag"))
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .count() == 4, "compaction must leave 4 part files")
+        cat.createTableClusteredBy("", "li_clustered",
+          cat.table("", "li_frag"), numFiles = 4,
+          clusterCols = Seq("l_shipdate"))
+        cat.table("", "li_clustered")
+          .filter(col("l_shipdate") >= lit("1997-01-01") &&
+            col("l_shipdate") < lit("1997-07-01"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+              .as("qty"))
+      },
+      Some(s"""SELECT count(*) AS n, ${dsumSql("l_quantity")} AS qty
+        FROM lineitem
+        WHERE l_shipdate >= timestamp '1997-01-01'
+          AND l_shipdate < timestamp '1997-07-01'""")),
+
     // ─── C17: DAG model runner (ref/source templating, parallel waves) ───
     "c_dag_model" -> Q(
       (s, dir) => {
