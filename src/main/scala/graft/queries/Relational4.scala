@@ -121,6 +121,35 @@ object Relational4 extends QueryModule {
         FROM part WHERE p_partkey <= 100
         ORDER BY p_partkey""")),
 
+    // ─── q54: RANGE window frames (value-based, vs. q18's ROWS) ───
+    // Sliding 1-hour event-time window per user expressed as a RANGE
+    // frame over epoch-micros — the value-based frame the streaming
+    // window would maintain incrementally.
+    "q54_range_frame" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts_us"))
+          .rangeBetween(-3600000000L, 0L)
+        Q.events(s, dir).filter(col("user_id") <= 30)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"), col("value"))
+          .select(col("user_id"), col("event_id"),
+            count(lit(1)).over(w).as("n_last_hour"),
+            sum(col("value").cast(DecimalType(18, 6))).over(w)
+              .cast("double").as("value_last_hour"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+          count(*) OVER w AS n_last_hour,
+          cast(sum(cast(value as decimal(18,6))) OVER w as double)
+            AS value_last_hour
+        FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+              FROM events WHERE user_id <= 30)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id""")),
+
     // ─── q53: null ordering semantics (order captured as a rank column) ───
     "q53_null_order" -> Q(
       (s, dir) => {

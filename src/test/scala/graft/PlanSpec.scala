@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regressions: the properties the 100 TB design depends
+  * on must stay visible in the optimized plans.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, TestSpark.SF)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q2 pushes its filters into the parquet scan") {
+    val p = planOf("q2_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(p_size), " +
+      "GreaterThanOrEqual(p_size,25)") || p.contains("GreaterThanOrEqual(p_size,25)"),
+      s"p_size filter not pushed:\n$p")
+  }
+
+  test("q2 prunes the scan to the projected columns") {
+    val p = planOf("q2_filter_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("p_retailprice") || readSchema.contains("p_retailprice"),
+      "sanity")
+    assert(!readSchema.contains("p_container") && !readSchema.contains("p_comment"),
+      s"scan reads more than needed: $readSchema")
+    assert(readSchema.contains("p_partkey") && readSchema.contains("p_retailprice"),
+      s"scan must include projected columns: $readSchema")
+  }
+
+  test("q5 broadcasts every dimension side") {
+    val p = planOf("q5_multijoin")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct"), "no cartesian products")
+  }
+
+  test("q1 aggregates partially before the exchange (map-side combine)") {
+    val p = planOf("q1_agg")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"expected partial aggregation:\n$p")
+  }
+
+  test("q36 range join stays an equi-join (no nested-loop)") {
+    val p = planOf("q36_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must use derived equi-buckets:\n$p")
+  }
+}
