@@ -121,6 +121,53 @@ object Relational4 extends QueryModule {
         FROM part WHERE p_partkey <= 100
         ORDER BY p_partkey""")),
 
+    // ─── q55: CUBE + grouping() marker (q16 covers ROLLUP) ───
+    "q55_cube" -> Q(
+      (s, dir) => {
+        t(s, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            grouping(col("o_orderstatus")).cast("long").as("g_status"),
+            grouping(col("o_orderpriority")).cast("long").as("g_priority"))
+          .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n"), col("g_status"), col("g_priority"))
+          .orderBy(col("status"), col("priority"))
+      },
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          coalesce(o_orderpriority, 'ALL') AS priority,
+          count(*) AS n,
+          cast(grouping(o_orderstatus) as bigint) AS g_status,
+          cast(grouping(o_orderpriority) as bigint) AS g_priority
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority""")),
+
+    // ─── q56: outer explode (rows preserved for empty arrays) ───
+    "q56_explode_outer" -> Q(
+      (s, dir) => {
+        val withArr = t(s, dir, "part").filter(col("p_partkey") <= 50)
+          .withColumn("sizes",
+            when(col("p_size") % 2 === 0,
+              sequence(lit(1), col("p_size") % 3 + 1))
+              .otherwise(array().cast("array<int>")))
+        withArr.select(col("p_partkey"),
+            explode_outer(col("sizes")).as("sz"))
+          .select(col("p_partkey"),
+            coalesce(col("sz"), lit(-1)).cast("long").as("sz"))
+          .orderBy(col("p_partkey"), col("sz"))
+      },
+      Some("""WITH witharr AS (
+          SELECT p_partkey,
+            CASE WHEN p_size % 2 = 0
+                 THEN range(1, p_size % 3 + 2)
+                 ELSE [] END AS sizes
+          FROM part WHERE p_partkey <= 50)
+        SELECT p_partkey,
+          cast(coalesce(u.sz, -1) as bigint) AS sz
+        FROM witharr LEFT JOIN LATERAL unnest(sizes) AS u(sz) ON true
+        ORDER BY p_partkey, sz""")),
+
     // ─── q54: RANGE window frames (value-based, vs. q18's ROWS) ───
     // Sliding 1-hour event-time window per user expressed as a RANGE
     // frame over epoch-micros — the value-based frame the streaming
