@@ -21,6 +21,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // default 100-entry codegen class cache evicts between the
+      // warm-up and measured passes with ~90 queries in flight,
+      // re-paying multi-second janino compiles for the widest plans
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
