@@ -121,6 +121,42 @@ object Relational4 extends QueryModule {
         FROM part WHERE p_partkey <= 100
         ORDER BY p_partkey""")),
 
+    // ─── q57: bitwise aggregates ───
+    "q57_bitwise_agg" -> Q(
+      (s, dir) => {
+        t(s, dir, "lineitem").filter(col("l_orderkey") <= 1000)
+          .groupBy(col("l_returnflag"))
+          .agg(bit_and(col("l_partkey")).as("band"),
+            bit_or(col("l_partkey")).as("bor"),
+            bit_xor(col("l_partkey")).as("bxor"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+          bit_and(l_partkey) AS band,
+          bit_or(l_partkey) AS bor,
+          bit_xor(l_partkey) AS bxor
+        FROM lineitem WHERE l_orderkey <= 1000
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // ─── q58: boolean aggregates + count_if ───
+    "q58_bool_agg" -> Q(
+      (s, dir) => {
+        t(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(every(col("o_totalprice") > 1000).as("all_over_1k"),
+            some(col("o_totalprice") > 400000).as("any_over_400k"),
+            count_if(col("o_orderpriority") === "1-URGENT").as("n_urgent"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus,
+          bool_and(o_totalprice > 1000) AS all_over_1k,
+          bool_or(o_totalprice > 400000) AS any_over_400k,
+          count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")),
+
     // ─── q55: CUBE + grouping() marker (q16 covers ROLLUP) ───
     "q55_cube" -> Q(
       (s, dir) => {
