@@ -391,13 +391,19 @@ object Relational2 extends QueryModule {
         ORDER BY vec_id, pos""")),
 
     // ─── q33: array function family (in-order double folds match both engines) ───
+    // The slice result is projected to scalar columns (head_1..head_3):
+    // the driver's pandas comparator cannot sort/hash raw array cells,
+    // and float→string renderings differ across engines, so scalar
+    // floats are the only hash-stable way to gate slice().
     "q33_array_funcs" -> Q(
       (s, dir) => {
         t(s, dir, "embeddings").filter(col("vec_id") < 50)
           .select(col("vec_id"),
             size(col("embedding")).cast("long").as("dim"),
             element_at(col("embedding"), 1).as("first_val"),
-            slice(col("embedding"), 1, 3).as("head3"),
+            element_at(slice(col("embedding"), 1, 3), 1).as("head_1"),
+            element_at(slice(col("embedding"), 1, 3), 2).as("head_2"),
+            element_at(slice(col("embedding"), 1, 3), 3).as("head_3"),
             aggregate(col("embedding"), lit(0.0),
               (acc, x) => acc + x).as("vsum"),
             sqrt(aggregate(col("embedding"), lit(0.0),
@@ -407,7 +413,9 @@ object Relational2 extends QueryModule {
       Some("""SELECT vec_id,
           len(embedding) AS dim,
           embedding[1] AS first_val,
-          embedding[1:3] AS head3,
+          embedding[1:3][1] AS head_1,
+          embedding[1:3][2] AS head_2,
+          embedding[1:3][3] AS head_3,
           list_reduce(list_transform(embedding, x -> cast(x as double)),
                       (a, b) -> a + b) AS vsum,
           sqrt(list_reduce(list_transform(embedding,

@@ -34,23 +34,26 @@ object Relational4 extends QueryModule {
         ORDER BY r_name""")),
 
     // ─── q49: nested types — struct build/access, map access ───
+    // The struct is built, then every field is projected back out as a
+    // scalar: the driver's pandas comparator cannot hash a raw struct
+    // cell, so field access IS the gate (same operator, scalar output).
     "q49_struct_map" -> Q(
       (s, dir) => {
+        val regionStruct = struct(col("r_name").as("name"),
+          col("r_regionkey").as("key"))
         t(s, dir, "region")
           .select(col("r_regionkey"),
-            struct(col("r_name").as("name"),
-              col("r_regionkey").as("key")).as("region_struct"),
-            struct(col("r_name").as("name"),
-              col("r_regionkey").as("key")).getField("name")
-              .as("struct_name"),
+            regionStruct.getField("name").as("struct_name"),
+            regionStruct.getField("key").cast("long").as("struct_key"),
             element_at(
               map(lit(1), lit("one"), lit(2), lit("two")),
               (col("r_regionkey") % 2 + 1).cast("int")).as("map_val"))
           .orderBy(col("r_regionkey"))
       },
       Some("""SELECT r_regionkey,
-          {'name': r_name, 'key': r_regionkey} AS region_struct,
           {'name': r_name, 'key': r_regionkey}.name AS struct_name,
+          cast({'name': r_name, 'key': r_regionkey}.key as bigint)
+            AS struct_key,
           map([1, 2], ['one', 'two'])[cast(r_regionkey % 2 + 1 as int)][1]
             AS map_val
         FROM region

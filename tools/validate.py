@@ -24,6 +24,12 @@ def canon(rows, cols):
     return [cols[i] for i in idx], out
 
 
+class NonScalarCell(Exception):
+    """Driver parity: the driver's pandas comparator cannot sort/hash
+    list/struct/map cells (TypeError: unhashable type), so any nested
+    value must be a hard FAIL here too — never canonicalized away."""
+
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -31,8 +37,8 @@ def norm(v):
         return v
     if hasattr(v, "isoformat"):
         return v.isoformat()
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
+    if isinstance(v, (list, tuple, dict, set)) or type(v).__name__ == "ndarray":
+        raise NonScalarCell(f"non-scalar cell of type {type(v).__name__}: {v!r}")
     return v
 
 
@@ -59,8 +65,13 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
-        gc, g = canon(got, got_cols)
-        ec, e = canon(exp, exp_cols)
+        try:
+            gc, g = canon(got, got_cols)
+            ec, e = canon(exp, exp_cols)
+        except NonScalarCell as exc:
+            print(f"FAIL {name}: {exc} (driver harness would crash on this)")
+            n_fail += 1
+            continue
         if gc != ec:
             print(f"FAIL {name}: columns {gc} != {ec}")
             n_fail += 1
