@@ -32,19 +32,28 @@ case class FloatVecDot(left: Expression, right: Expression)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (left.dataType == ArrayType(FloatType, containsNull = false) ||
-      left.dataType == ArrayType(FloatType, containsNull = true)) {
+    def isFloatArray(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    // Both children must be array<float>: getFloat on any other array
+    // type would silently reinterpret raw bytes (user-reachable via the
+    // registered SQL function float_vec_dot).
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType)) {
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     } else {
+      val side = if (isFloatArray(left.dataType)) "right" else "left"
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"expected array<float>, got ${left.dataType} / ${right.dataType}")
+        s"expected array<float> on both sides, got $side=" +
+          s"${if (side == "left") left.dataType else right.dataType} " +
+          s"(left=${left.dataType}, right=${right.dataType})")
     }
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = FloatVecDot.checkedLength(x.numElements(), y.numElements())
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -61,7 +70,7 @@ case class FloatVecDot(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val cls = FloatVecDot.getClass.getName.stripSuffix("$") + "$.MODULE$"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $cls.checkedLength($a.numElements(), $b.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $cls.scaled($a.getFloat($i), $b.getFloat($i));
@@ -80,6 +89,18 @@ case class FloatVecDot(left: Expression, right: Expression)
 object FloatVecDot {
   /** 10^15: the decimal grid the products are rounded onto. */
   val SCALE: Double = 1e15
+
+  /** Dimension mismatch is a data bug (e.g. 512-d query vs 768-d
+    * corpus); silently truncating to min(n) would yield plausible but
+    * meaningless scores, so it fails loudly instead.
+    */
+  def checkedLength(n1: Int, n2: Int): Int = {
+    if (n1 != n2) {
+      throw new IllegalArgumentException(
+        s"float_vec_dot: vector dimensions differ ($n1 vs $n2)")
+    }
+    n1
+  }
 
   /** Exact double product rounded half-up onto the scaled-long grid —
     * the same rounding `cast(double as decimal(18,15))` applies.

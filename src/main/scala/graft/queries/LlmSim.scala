@@ -30,10 +30,15 @@ object LlmSim extends QueryModule {
       math.abs(it.next()) % P30))
   }
 
-  /** 16 hyperplanes × 64 dims in [-1, 1] for sign-LSH. */
-  private val hyperplanes: Seq[Seq[Double]] = {
+  /** 32 hyperplanes (8 bands × 4 planes) × 64 dims in [-1, 1] for
+    * sign-LSH, stored as float arrays so the codegen'd FloatVecDot
+    * kernel computes each signed projection (the higher-order
+    * aggregate/zip_with alternative runs interpreted).
+    */
+  private val hyperplanes: Seq[Seq[Float]] = {
     val it = lcgStream(7L)
-    Seq.fill(16)(Seq.fill(64)((math.abs(it.next()) % 2001) / 1000.0 - 1.0))
+    Seq.fill(32)(Seq.fill(64)(
+      ((math.abs(it.next()) % 2001) / 1000.0 - 1.0).toFloat))
   }
 
   private val DEC = DecimalType(18, 15)
@@ -47,6 +52,57 @@ object LlmSim extends QueryModule {
     */
   private def dotDec(a: Column, b: Column): Column =
     graft.functions.FloatVecDot.dot(a, b)
+
+  /** Spherical k-means coarse quantizer for IVF (s3): Lloyd iterations
+    * expressed as Spark aggregations. Assignment is a broadcast-join
+    * argmax (`max_by` — one partial→final HashAggregate, no window
+    * sort); the update is one HashAggregate over (centroid, dim). Only
+    * aggregate results (k vectors at init, k×dim means per iteration)
+    * ever reach the driver — never corpus rows — so training scales
+    * exactly like any other groupBy.
+    *
+    * Deterministic end-to-end: seeded init (the k lowest-id vectors),
+    * fixed iteration count, order-independent decimal-grid dot products
+    * and decimal mean sums, smallest-centroid-id assignment tiebreak.
+    */
+  private[graft] def trainCentroids(s: SparkSession, e: DataFrame,
+      k: Int, iters: Int): Seq[(Int, Seq[Float])] = {
+    import s.implicits._
+    def normalize(v: Array[Double]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (if (n == 0) 0.0 else x / n).toFloat).toSeq
+    }
+    var cents: Seq[(Int, Seq[Float])] = e
+      .filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+      .sortBy(_._1).zipWithIndex
+      .map { case ((_, v), i) => i -> normalize(v.map(_.toDouble).toArray) }
+    for (_ <- 0 until iters) {
+      val centDf = broadcast(cents.toDF("cent_id", "cent_v"))
+      val assigned = e.join(centDf)
+        .select(col("vec_id"), col("cent_id"), col("embedding"),
+          dotDec(col("embedding"), col("cent_v")).as("d"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cent_id"), col("embedding")),
+          struct(col("d"), -col("cent_id"))).as("best"))
+        .select(col("best.cent_id").as("cent_id"),
+          col("best.embedding").as("embedding"))
+      // exact decimal sums keep the mean independent of partitioning
+      val means = assigned
+        .select(col("cent_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg((sum(col("v").cast(DecimalType(18, 12))).cast("double") /
+          count(lit(1))).as("m"))
+        .as[(Int, Int, Double)].collect()
+      val byId = means.groupBy(_._1).map { case (cid, rows) =>
+        cid -> normalize(rows.sortBy(_._2).map(_._3))
+      }
+      cents = cents.map { case (cid, old) => cid -> byId.getOrElse(cid, old) }
+    }
+    cents
+  }
 
   /** Word-trigram shingles of the normalized text, hashed into [0, 2^30). */
   private def shingles(docs: DataFrame): DataFrame =
@@ -263,28 +319,37 @@ object LlmSim extends QueryModule {
 
     // ─── s2: sign-LSH bucketed approximate top-k (scale path; rows-only,
     // recall vs. s1 asserted in AnnSpec) ───
+    // 8 bands × 4 planes: a candidate is probed if it agrees with the
+    // query on all 4 signs of ANY band. Queries additionally multi-probe
+    // the 4 buckets at hamming distance 1 per band (one flipped sign),
+    // which lifts recall without extra shuffles — probing is just more
+    // rows on the small (query) side of the same equi-join. At 100 TB
+    // the candidate volume per query stays |corpus| × P(collide)
+    // per band; bands/planes are the recall/cost dials.
     "s2_ann_lsh" -> Q(
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        // two 8-plane bands → two 8-bit bucket ids per vector, computed
-        // in one projection (no shuffle for signature generation)
+        val BANDS = 8
+        val PLANES = 4
+        // 4-bit bucket id per band, all 8 in one codegen'd projection
         def bucket(v: Column, band: Int): Column =
-          (0 until 8).map { p =>
-            val hp = typedLit(hyperplanes(band * 8 + p))
-            when(aggregate(zip_with(v, hp,
-              (x, h) => x.cast("double") * h), lit(0.0), (a, x) => a + x) > 0,
+          (0 until PLANES).map { p =>
+            when(dotDec(v, typedLit(hyperplanes(band * PLANES + p))) > 0,
               lit(1L << p)).otherwise(0L)
           }.reduce(_ + _)
         val sigs = e.select(col("vec_id"), col("embedding"),
-          explode(array((0 until 2).map { band =>
+          explode(array((0 until BANDS).map { band =>
             struct(lit(band).as("band"),
               bucket(col("embedding"), band).as("bucket"))
           }: _*)).as("bk"))
           .select(col("vec_id"), col("embedding"),
             col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+        val probeFlips = 0L +: (0 until PLANES).map(p => 1L << p)
         val queries = sigs.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-            col("band"), col("bucket"))
+            col("band"),
+            explode(array(probeFlips.map(f =>
+              col("bucket").bitwiseXOR(lit(f))): _*)).as("bucket"))
         val cands = sigs.filter(col("vec_id") >= 10)
           .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
             col("band"), col("bucket"))
@@ -307,19 +372,22 @@ object LlmSim extends QueryModule {
 
     // ─── s3: IVF-bucketed approximate top-k (rows-only; recall vs s1
     // asserted in AnnSpec) ───
-    // Coarse quantizer: 16 fixed "centroid" vectors (the first 16
-    // corpus vectors — deterministic; a production build would run
-    // k-means once offline). Every vector is assigned to its nearest
-    // centroid in one projection; a query probes its 2 nearest
-    // centroid cells and scores exactly only inside them. At 100 TB
-    // the inverted lists are just a partition key — candidate volume
-    // per query is |corpus| * nprobe / ncells.
+    // Coarse quantizer: 16 centroids trained by seeded spherical
+    // k-means ([[trainCentroids]] — Lloyd iterations as Spark
+    // aggregations; at 100 TB training runs once offline on a sample).
+    // Every corpus vector is assigned to its 2 nearest centroids
+    // (standard IVF multi-assignment: 2× index size buys recall with
+    // no extra probe cost); a query probes its 3 nearest centroid
+    // cells and scores exactly only inside them. The inverted lists
+    // are just a partition key — candidate volume per query is
+    // |corpus| * assign * nprobe / ncells.
     "s3_ann_ivf" -> Q(
       (s, dir) => {
+        import s.implicits._
         val e = t(s, dir, "embeddings")
-        val centroids = e.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("cent_id"),
-            col("embedding").as("cent_v"))
+        val centroids = trainCentroids(s,
+          e.select(col("vec_id"), col("embedding")), k = 16, iters = 3)
+          .toDF("cent_id", "cent_v")
         def assign(df: DataFrame, vec: Column, nprobe: Int,
             idCol: String): DataFrame = {
           val w = Window.partitionBy(col(idCol))
@@ -333,11 +401,11 @@ object LlmSim extends QueryModule {
         val cands = assign(
           e.filter(col("vec_id") >= 10)
             .select(col("vec_id").as("cand_id"), col("embedding").as("cv")),
-          col("cv"), nprobe = 1, idCol = "cand_id")
+          col("cv"), nprobe = 2, idCol = "cand_id")
         val queries = assign(
           e.filter(col("vec_id") < 10)
             .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
-          col("qv"), nprobe = 2, idCol = "query_id")
+          col("qv"), nprobe = 3, idCol = "query_id")
         val scored = queries.join(cands, Seq("cent_id"))
           .select(col("query_id"), col("cand_id"),
             round(dotDec(col("qv"), col("cv")) /

@@ -43,14 +43,17 @@ class AnnSpec extends AnyFunSuite {
     recall
   }
 
+  // Deterministic pipelines (seeded hyperplanes / seeded k-means, exact
+  // decimal dot products), so the floors are hard assertions, not flaky
+  // statistical bounds. Measured: s2 = 0.96, s3 = 0.94 at sf0.001.
   test("s2_ann_lsh recall vs s1_ann_brute") {
-    assert(recallOf("s2_ann_lsh") > 0.0,
-      "LSH found none of the true top-5 neighbors")
+    assert(recallOf("s2_ann_lsh") >= 0.9,
+      "LSH recall@5 regressed below 0.9")
   }
 
   test("s3_ann_ivf recall vs s1_ann_brute") {
-    assert(recallOf("s3_ann_ivf") > 0.0,
-      "IVF found none of the true top-5 neighbors")
+    assert(recallOf("s3_ann_ivf") >= 0.94,
+      "IVF recall@5 regressed below 0.94")
   }
 }
 
