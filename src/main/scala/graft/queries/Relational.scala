@@ -464,14 +464,43 @@ object Relational extends QueryModule {
         ORDER BY o_custkey, o_orderkey""")),
 
     // ─── q20: ntile / percent_rank / cume_dist ───
+    // Global by semantics, computed scale-safely: a bare
+    // Window.orderBy sorts the whole table in ONE task. Instead the
+    // table is range-partitioned on the sort key (32 parallel local
+    // sorts), rows are numbered within each range partition, and the
+    // global rank is the local row_number plus the partition's
+    // cumulative offset. Only the per-partition counts reach the
+    // driver — the same metadata footprint RangePartitioner itself
+    // uses — so the shape survives any scale. The sort key includes
+    // the unique c_custkey, so rank == row_number and every row is
+    // its own peer group (exact percent_rank/cume_dist).
     "q20_window_ntile" -> Q(
       (s, dir) => {
-        val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-        t(s, dir, "customer")
+        val ranged = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal"))
+          .repartitionByRange(32, col("c_acctbal"), col("c_custkey"))
+          .withColumn("pid", spark_partition_id())
+        val counts = ranged.groupBy(col("pid")).count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+        val n = counts.map(_._2).sum
+        val offsets: Map[Int, Long] = counts.map(_._1)
+          .zip(counts.scanLeft(0L)((acc, c) => acc + c._2)).toMap
+        val wLocal = Window.partitionBy(col("pid"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        val (base, rem) = (n / 4, n % 4)
+        val cut = rem * (base + 1) // rows in the rem larger buckets
+        val r = col("r")
+        val quartile = when(r <= cut,
+            floor((r - 1) / lit(base + 1)) + 1)
+          .otherwise(floor((r - cut - 1) / lit(base)) + rem + 1)
+        ranged
+          .withColumn("r", row_number().over(wLocal).cast("long") +
+            element_at(typedLit(offsets), col("pid")))
           .select(col("c_custkey"), col("c_acctbal"),
-            ntile(4).over(w).as("quartile"),
-            percent_rank().over(w).as("pct_rank"),
-            cume_dist().over(w).as("cume"))
+            quartile.cast("int").as("quartile"),
+            (when(lit(n) === 1, lit(0.0)).otherwise(
+              (r - 1).cast("double") / lit((n - 1).toDouble))).as("pct_rank"),
+            (r.cast("double") / lit(n.toDouble)).as("cume"))
           .orderBy(col("c_custkey"))
       },
       Some("""SELECT c_custkey, c_acctbal,

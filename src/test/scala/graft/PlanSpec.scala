@@ -43,6 +43,15 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial aggregation:\n$p")
   }
 
+  test("q20 has no single-partition global window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q20_window_ntile")(spark, TestSpark.SF)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected a (partitioned) Window in q20's plan")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "found a Window with an empty partitionSpec — a single-task global sort")
+  }
+
   test("q36 range join stays an equi-join (no nested-loop)") {
     val p = planOf("q36_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
