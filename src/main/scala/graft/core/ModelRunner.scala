@@ -48,6 +48,10 @@ final class ModelRunner(
     * profile setting). Returns materialized names in completion order.
     */
   def run(models: Seq[Model], threads: Int = 4): Seq[String] = {
+    val dups = models.groupBy(_.name).filter(_._2.sizeIs > 1).keys.toSeq.sorted
+    require(dups.isEmpty,
+      s"duplicate model name(s) across schemas (ref() is by bare name, " +
+        s"so names must be unique): ${dups.mkString(", ")}")
     val byName = models.map(m => m.name -> m).toMap
     models.foreach { m =>
       val missing = m.refs.filterNot(byName.contains)
@@ -67,7 +71,7 @@ final class ModelRunner(
         require(ready.nonEmpty,
           s"model cycle among: ${blocked.map(_.name).mkString(", ")}")
         val wave = Future.traverse(ready) { m =>
-          Future { materialize(m); m.name }
+          Future { materialize(m, byName); m.name }
         }
         val finished = Await.result(wave, Duration.Inf)
         order ++= finished
@@ -78,19 +82,26 @@ final class ModelRunner(
     order.result()
   }
 
-  private def materialize(m: Model): Unit = {
-    val rendered = render(m)
+  private def materialize(m: Model, byName: Map[String, Model]): Unit = {
+    val rendered = render(m, byName)
     target.createTableAs(m.schema, m.name, target.spark.sql(rendered),
       singleFile = m.singleFile)
   }
 
   /** Resolve `{{ ref/source }}` to registered view names; sources are
-    * registered on demand from the source resolver.
+    * registered on demand from the source resolver. A ref resolves to
+    * the *referenced* model's schema (looked up in `byName`), not the
+    * referring model's — models in different schemas ref each other.
     */
-  private[core] def render(m: Model): String = {
+  private[core] def render(m: Model, byName: Map[String, Model]): String = {
     var out = m.sql
-    out = ModelRunner.RefPattern.replaceAllIn(out, mm =>
-      target.viewName(m.schema, mm.group(1)))
+    out = ModelRunner.RefPattern.replaceAllIn(out, mm => {
+      val refName = mm.group(1)
+      val referenced = byName.getOrElse(refName,
+        throw new IllegalArgumentException(
+          s"model ${m.name} refs unknown model: $refName"))
+      target.viewName(referenced.schema, refName)
+    })
     out = ModelRunner.SourcePattern.replaceAllIn(out, mm => {
       val (schema, table) = (mm.group(1), mm.group(2))
       val view = s"src__${schema}__$table"

@@ -129,6 +129,28 @@ class ModelRunnerSpec extends AnyFunSuite {
     assert(target.table("", "final").head().getLong(0) == 4)
   }
 
+  test("cross-schema ref resolves to the referenced model's schema") {
+    val (target, r) = runner()
+    target.createSchema("marts")
+    val order = r.run(Seq(
+      Model("mart_regions",
+        "select count(*) as n from {{ ref('base_regions') }}",
+        schema = "marts"),
+      Model("base_regions", "select * from {{ source('', 'region') }}")))
+    assert(order == Seq("base_regions", "mart_regions"))
+    assert(target.table("marts", "mart_regions").head().getLong(0) == 5)
+  }
+
+  test("duplicate model names across schemas rejected") {
+    val (_, r) = runner()
+    val e = intercept[IllegalArgumentException] {
+      r.run(Seq(
+        Model("m", "select 1 as x", schema = "a"),
+        Model("m", "select 2 as x", schema = "b")))
+    }
+    assert(e.getMessage.contains("duplicate model name"))
+  }
+
   test("cycle detection") {
     val (_, r) = runner()
     val e = intercept[IllegalArgumentException] {
