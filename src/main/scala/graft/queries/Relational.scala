@@ -469,38 +469,47 @@ object Relational extends QueryModule {
     // table is range-partitioned on the sort key (32 parallel local
     // sorts), rows are numbered within each range partition, and the
     // global rank is the local row_number plus the partition's
-    // cumulative offset. Only the per-partition counts reach the
-    // driver — the same metadata footprint RangePartitioner itself
-    // uses — so the shape survives any scale. The sort key includes
-    // the unique c_custkey, so rank == row_number and every row is
-    // its own peer group (exact percent_rank/cume_dist).
+    // cumulative offset. The offsets (and total n) are derived by an
+    // aggregate + broadcast join INSIDE the same plan, so the range
+    // exchange is computed once (ReuseExchange / AQE stage reuse) and
+    // correctness never depends on RangePartitioner sampling the same
+    // boundaries across two jobs; nothing reaches the driver. The
+    // sort key includes the unique c_custkey, so rank == row_number
+    // and every row is its own peer group (exact percent_rank/cume).
     "q20_window_ntile" -> Q(
       (s, dir) => {
         val ranged = t(s, dir, "customer")
           .select(col("c_custkey"), col("c_acctbal"))
           .repartitionByRange(32, col("c_acctbal"), col("c_custkey"))
           .withColumn("pid", spark_partition_id())
-        val counts = ranged.groupBy(col("pid")).count()
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-        val n = counts.map(_._2).sum
-        val offsets: Map[Int, Long] = counts.map(_._1)
-          .zip(counts.scanLeft(0L)((acc, c) => acc + c._2)).toMap
+        // 32-row frame: per-pid count → running-sum offset + total n.
+        val wOff = Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val offsets = ranged.groupBy(col("pid"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("pid"),
+            (sum(col("cnt")).over(wOff) - col("cnt")).as("off"),
+            sum(col("cnt")).over(wAll).as("n"))
         val wLocal = Window.partitionBy(col("pid"))
           .orderBy(col("c_acctbal"), col("c_custkey"))
-        val (base, rem) = (n / 4, n % 4)
+        val (r, n) = (col("r"), col("n"))
+        val base = (n / 4).cast("long") // n >= 0: truncation == floor
+        val rem = n - base * 4
         val cut = rem * (base + 1) // rows in the rem larger buckets
-        val r = col("r")
         val quartile = when(r <= cut,
-            floor((r - 1) / lit(base + 1)) + 1)
-          .otherwise(floor((r - cut - 1) / lit(base)) + rem + 1)
+            floor((r - 1) / (base + 1)) + 1)
+          .otherwise(floor((r - cut - 1) / base) + rem + 1)
         ranged
-          .withColumn("r", row_number().over(wLocal).cast("long") +
-            element_at(typedLit(offsets), col("pid")))
+          .withColumn("rl", row_number().over(wLocal).cast("long"))
+          .join(broadcast(offsets), Seq("pid"))
+          .withColumn("r", col("rl") + col("off"))
           .select(col("c_custkey"), col("c_acctbal"),
             quartile.cast("int").as("quartile"),
-            (when(lit(n) === 1, lit(0.0)).otherwise(
-              (r - 1).cast("double") / lit((n - 1).toDouble))).as("pct_rank"),
-            (r.cast("double") / lit(n.toDouble)).as("cume"))
+            (when(n === 1, lit(0.0)).otherwise(
+              (r - 1).cast("double") / (n - 1).cast("double"))).as("pct_rank"),
+            (r.cast("double") / n.cast("double")).as("cume"))
           .orderBy(col("c_custkey"))
       },
       Some("""SELECT c_custkey, c_acctbal,

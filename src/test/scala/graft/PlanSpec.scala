@@ -43,13 +43,32 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial aggregation:\n$p")
   }
 
-  test("q20 has no single-partition global window") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+  test("q20 has no single-partition global window over raw rows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val df = SparkEntry.queries("q20_window_ntile")(spark, TestSpark.SF)
     val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
-    assert(windows.nonEmpty, "expected a (partitioned) Window in q20's plan")
-    assert(windows.forall(_.partitionSpec.nonEmpty),
-      "found a Window with an empty partitionSpec — a single-task global sort")
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "expected a partitioned Window in q20's plan")
+    // A global (unpartitioned) window is only tolerable on top of an
+    // Aggregate — the 32-row per-partition-counts frame, whose size is
+    // the partition count, not the data size.
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        "global Window over raw (non-aggregated) rows — a single-task sort")
+    }
+  }
+
+  test("q20 derives rank offsets inside one plan (no driver collect)") {
+    // Both the row_number branch and the counts branch read the same
+    // repartitionByRange exchange; the plan must contain that range
+    // exchange so AQE stage-reuse evaluates it once. (The old shape
+    // collected counts to the driver in a separate job, which silently
+    // depended on RangePartitioner sampling identically twice.)
+    val df = SparkEntry.queries("q20_window_ntile")(spark, TestSpark.SF)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"), s"expected a range exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"offsets must join back via broadcast:\n$p")
   }
 
   test("q36 range join stays an equi-join (no nested-loop)") {
