@@ -1,7 +1,6 @@
 package graft.core
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.Comparator
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -15,6 +14,13 @@ import org.apache.spark.sql.types.StructField
   * Layout contract (same as the reference):
   *   - `{database}/{table}.parquet`            — default ("") schema
   *   - `{database}/{schema}/{table}.parquet`   — named schema
+  *
+  * All filesystem access goes through Hadoop's [[FileSystem]] resolved
+  * from the `database` URI, so the same catalog works over `file://`,
+  * `hdfs://`, or `s3a://` roots — object-store support is the
+  * reference README's own #1 stated deficiency (README.md:53), and on
+  * a 100 TB deployment the database root is an object store, not a
+  * POSIX mount.
   *
   * Unlike the reference (always one physical file), a relation here may
   * be either a single parquet file or a *directory* named
@@ -34,7 +40,10 @@ final class Catalog(val spark: SparkSession, val database: String) {
   // longs) — Spark's reader rejects them outright otherwise
   spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  private def root: Path = Paths.get(database)
+  private val root = new Path(database)
+
+  /** The Hadoop filesystem owning `database` (local, HDFS, s3a, ...). */
+  val fs: FileSystem = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** View name a relation registers under (single-part identifier). */
   def viewName(schema: String, table: String): String =
@@ -42,25 +51,27 @@ final class Catalog(val spark: SparkSession, val database: String) {
 
   /** Physical path of a relation (reference: relation.py render_path). */
   def relationPath(schema: String, table: String): Path =
-    if (schema.isEmpty) root.resolve(s"$table.parquet")
-    else root.resolve(schema).resolve(s"$table.parquet")
+    if (schema.isEmpty) new Path(root, s"$table.parquet")
+    else new Path(new Path(root, schema), s"$table.parquet")
 
-  private def isRelation(p: Path): Boolean =
-    p.getFileName.toString.endsWith(".parquet")
+  private def isRelation(p: Path): Boolean = p.getName.endsWith(".parquet")
+
+  // in-flight CTAS temp/backup dirs and other dotfiles are invisible
+  private def isHidden(p: Path): Boolean = p.getName.startsWith(".")
+
+  private def isDir(p: Path): Boolean =
+    fs.exists(p) && fs.getFileStatus(p).isDirectory
 
   /** All schemas: "" (default) plus every subdirectory
     * (reference: util.py list_schemas_from_fs).
     */
   def listSchemas(): Seq[String] = {
     val subs =
-      if (!Files.isDirectory(root)) Seq.empty
-      else {
-        val s = Files.list(root)
-        try s.filter(p => Files.isDirectory(p) && !isRelation(p))
-          .map[String](_.getFileName.toString).sorted(Comparator.naturalOrder())
-          .toArray.toSeq.map(_.toString)
-        finally s.close()
-      }
+      if (!isDir(root)) Seq.empty
+      else fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && !isRelation(st.getPath) &&
+          !isHidden(st.getPath))
+        .map(_.getPath.getName).sorted
     "" +: subs
   }
 
@@ -68,28 +79,24 @@ final class Catalog(val spark: SparkSession, val database: String) {
 
   /** All relations in a schema (reference: util.py list_relations_from_fs). */
   def listRelations(schema: String): Seq[String] = {
-    val dir = if (schema.isEmpty) root else root.resolve(schema)
-    if (!Files.isDirectory(dir)) Seq.empty
-    else {
-      val s = Files.list(dir)
-      try s.filter(isRelation(_))
-        .map[String](_.getFileName.toString.stripSuffix(".parquet"))
-        .sorted(Comparator.naturalOrder()).toArray.toSeq.map(_.toString)
-      finally s.close()
-    }
+    val dir = if (schema.isEmpty) root else new Path(root, schema)
+    if (!isDir(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(st => isRelation(st.getPath) && !isHidden(st.getPath))
+      .map(_.getPath.getName.stripSuffix(".parquet")).sorted
   }
 
   /** reference: impl.py create_schema */
   def createSchema(schema: String): Unit =
-    if (schema.nonEmpty) Files.createDirectories(root.resolve(schema))
+    if (schema.nonEmpty) fs.mkdirs(new Path(root, schema))
 
   /** reference: impl.py drop_schema (recursive) */
   def dropSchema(schema: String): Unit =
-    if (schema.nonEmpty) deleteRecursively(root.resolve(schema))
+    if (schema.nonEmpty) fs.delete(new Path(root, schema), true)
 
   /** reference: impl.py drop_relation */
   def dropRelation(schema: String, table: String): Unit = {
-    deleteRecursively(relationPath(schema, table))
+    fs.delete(relationPath(schema, table), true)
     spark.catalog.dropTempView(viewName(schema, table))
   }
 
@@ -100,8 +107,8 @@ final class Catalog(val spark: SparkSession, val database: String) {
     val to = relationPath(toSchema, toTable)
     if (from != to) {
       createSchema(toSchema)
-      deleteRecursively(to)
-      Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
+      fs.delete(to, true)
+      require(fs.rename(from, to), s"rename $from -> $to failed")
       spark.catalog.dropTempView(viewName(fromSchema, fromTable))
       register(toSchema, toTable)
     }
@@ -135,36 +142,41 @@ final class Catalog(val spark: SparkSession, val database: String) {
   /** CTAS materialization (reference: macros/adapters.sql
     * parquet__create_table_as — `copy (sql) to '<path>'`).
     *
-    * Writes to a hidden sibling temp dir, then swaps via filesystem
-    * rename — readers never observe a half-written table. With
-    * `singleFile=true` the result is one physical `.parquet` file
-    * (byte-compatible with the reference's layout); otherwise it is a
-    * `{table}.parquet/` directory of part files (the scale path —
-    * writers stay fully parallel).
+    * Writes to a hidden sibling temp dir, then swaps in three steps:
+    * rename the current table aside, rename the fresh write in, delete
+    * the old bytes. Readers holding an open handle keep reading the
+    * old (complete) data; a reader listing at exactly the instant
+    * between the two renames can observe the relation briefly absent —
+    * but never a half-written one. That is the strongest guarantee a
+    * plain filesystem (or object store) rename gives without a
+    * metastore. With `singleFile=true` the result is one physical
+    * `.parquet` file (byte-compatible with the reference's layout);
+    * otherwise it is a `{table}.parquet/` directory of part files
+    * (the scale path — writers stay fully parallel).
     */
   def createTableAs(schema: String, tableName: String, df: DataFrame,
       singleFile: Boolean = false): Unit = {
     createSchema(schema)
     val target = relationPath(schema, tableName)
-    val tmp = target.resolveSibling(s".${tableName}.parquet.tmp")
-    deleteRecursively(tmp)
+    val parent = target.getParent
+    val tmp = new Path(parent, s".$tableName.parquet.tmp")
+    val old = new Path(parent, s".$tableName.parquet.old")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
     val writer = if (singleFile) df.coalesce(1) else df
     writer.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (singleFile) {
-      val part = {
-        val s = Files.list(tmp)
-        try s.filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .findFirst().orElseThrow(() =>
-            new IllegalStateException(s"no part file written for $tableName"))
-        finally s.close()
-      }
-      deleteRecursively(target)
-      Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
-      deleteRecursively(tmp)
-    } else {
-      deleteRecursively(target)
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    }
+    val fresh =
+      if (singleFile)
+        fs.listStatus(tmp).map(_.getPath)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"no part file written for $tableName"))
+      else tmp
+    if (fs.exists(target))
+      require(fs.rename(target, old), s"rename-aside of $target failed")
+    require(fs.rename(fresh, target), s"swap-in of $target failed")
+    fs.delete(old, true)
+    if (singleFile) fs.delete(tmp, true)
     register(schema, tableName)
   }
 
@@ -231,27 +243,25 @@ final class Catalog(val spark: SparkSession, val database: String) {
 
   /** Row-level diff between two relations: (row_count_difference,
     * num_mismatched), the same contract as the reference's
-    * columns-equal check (impl.py get_rows_different_sql) — here as
-    * two exceptAll counts instead of generated SQL.
+    * columns-equal check (impl.py get_rows_different_sql).
+    *
+    * One lazy plan, one shuffle: rows of `a` weigh +1 and rows of `b`
+    * weigh -1; grouping by every compared column gives the signed
+    * multiplicity `d` per distinct row, from which
+    * `row_count_difference = Σd` and `num_mismatched = Σ|d|` (the
+    * multiset symmetric-difference size, identical to the old
+    * two-sided exceptAll) fall out of a single scalar aggregate —
+    * instead of the previous four separate count actions.
     */
   def rowsDifferent(a: DataFrame, b: DataFrame,
       columns: Seq[String] = Seq.empty): DataFrame = {
-    val cols = (if (columns.nonEmpty) columns else a.columns.toSeq.sorted)
-      .map(col)
-    val pa = a.select(cols: _*)
-    val pb = b.select(cols: _*)
-    val missing = pa.exceptAll(pb).count() + pb.exceptAll(pa).count()
-    val diff = pa.count() - pb.count()
-    import spark.implicits._
-    Seq((diff, missing)).toDF("row_count_difference", "num_mismatched")
+    val names = if (columns.nonEmpty) columns else a.columns.toSeq.sorted
+    val cols = names.map(col)
+    a.select(cols :+ lit(1L).as("_w"): _*)
+      .unionAll(b.select(cols :+ lit(-1L).as("_w"): _*))
+      .groupBy(names.map(col): _*)
+      .agg(sum(col("_w")).as("_d"))
+      .agg(coalesce(sum(col("_d")), lit(0L)).as("row_count_difference"),
+        coalesce(sum(abs(col("_d"))), lit(0L)).as("num_mismatched"))
   }
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      if (Files.isDirectory(p)) {
-        val s = Files.list(p)
-        try s.forEach(deleteRecursively(_)) finally s.close()
-      }
-      Files.delete(p)
-    }
 }

@@ -73,7 +73,7 @@ object Engine extends QueryModule {
         cat.createTableAs("", "nation_sf",
           t(s, dir, "nation").repartition(4), singleFile = true)
         val p = cat.relationPath("", "nation_sf")
-        assert(java.nio.file.Files.isRegularFile(p),
+        assert(cat.fs.getFileStatus(p).isFile,
           s"$p must be one plain parquet file")
         cat.table("", "nation_sf")
           .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
@@ -110,9 +110,9 @@ object Engine extends QueryModule {
         cat.createTableAs("", "li_frag",
           t(s, dir, "lineitem").repartition(64))
         cat.compact("", "li_frag", 4)
-        assert(java.nio.file.Files.list(cat.relationPath("", "li_frag"))
-          .filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .count() == 4, "compaction must leave 4 part files")
+        assert(cat.fs.listStatus(cat.relationPath("", "li_frag"))
+          .count(_.getPath.getName.endsWith(".parquet")) == 4,
+          "compaction must leave 4 part files")
         cat.createTableClusteredBy("", "li_clustered",
           cat.table("", "li_frag"), numFiles = 4,
           clusterCols = Seq("l_shipdate"))

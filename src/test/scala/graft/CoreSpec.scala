@@ -43,7 +43,7 @@ class CatalogSpec extends AnyFunSuite {
     cat.createTableAs("", "one", (1 to 100).toDF("n").repartition(4),
       singleFile = true)
     val p = cat.relationPath("", "one")
-    assert(Files.isRegularFile(p), s"$p should be a plain file")
+    assert(cat.fs.getFileStatus(p).isFile, s"$p should be a plain file")
     assert(cat.table("", "one").count() == 100)
   }
 
@@ -64,7 +64,7 @@ class CatalogSpec extends AnyFunSuite {
     cat.createTableAs("", "gone", Seq(1).toDF("n"))
     cat.dropRelation("", "gone")
     assert(cat.listRelations("").isEmpty)
-    assert(!Files.exists(cat.relationPath("", "gone")))
+    assert(!cat.fs.exists(cat.relationPath("", "gone")))
   }
 
   test("columnsOf reads the parquet footer schema") {
@@ -92,6 +92,47 @@ class CatalogSpec extends AnyFunSuite {
     assert(same.getLong(0) == 0 && same.getLong(1) == 0)
     val diff = cat.rowsDifferent(a, a.filter($"n" > 1)).head()
     assert(diff.getLong(0) == 1 && diff.getLong(1) == 1)
+    // duplicates count with multiplicity, both directions
+    val m = cat.rowsDifferent(Seq(1, 1, 2).toDF("n"), Seq(2, 3).toDF("n")).head()
+    assert(m.getLong(0) == 1 && m.getLong(1) == 3) // {1,1} vs {3}
+  }
+
+  test("rowsDifferent builds one lazy plan (no eager driver actions)") {
+    val cat = freshCatalog("difflazy")
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val group = "rowsdiff-construct"
+    sc.setJobGroup(group, "rowsDifferent must not run jobs on construction")
+    try cat.rowsDifferent(Seq(1, 2).toDF("n"), Seq(2).toDF("n"))
+    finally sc.clearJobGroup()
+    assert(sc.statusTracker.getJobIdsForGroup(group).isEmpty,
+      "constructing the diff ran Spark jobs — the old 4-action shape")
+  }
+
+  test("catalog works against an explicit file:// Hadoop URI root") {
+    val dir = Files.createTempDirectory("graft_test_hfs")
+    val cat = new Catalog(spark, "file://" + dir.toString)
+    import spark.implicits._
+    cat.createSchema("staging")
+    cat.createTableAs("staging", "t", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    assert(cat.listSchemas() == Seq("", "staging"))
+    assert(cat.listRelations("staging") == Seq("t"))
+    cat.renameRelation("staging", "t", "", "t2")
+    assert(cat.table("", "t2").count() == 2)
+    assert(cat.columnsOf("", "t2").map(_.name) == Seq("k", "v"))
+    cat.dropRelation("", "t2")
+    assert(cat.listRelations("").isEmpty)
+  }
+
+  test("ctas overwrite leaves no tmp/backup residue and survives swap") {
+    val cat = freshCatalog("swap")
+    import spark.implicits._
+    cat.createTableAs("", "x", Seq(1, 2, 3).toDF("n"))
+    cat.createTableAs("", "x", Seq(4, 5).toDF("n")) // rename-aside path
+    assert(cat.table("", "x").count() == 2)
+    val names = cat.fs.listStatus(new org.apache.hadoop.fs.Path(cat.database))
+      .map(_.getPath.getName).toSeq
+    assert(names == Seq("x.parquet"), s"residue left behind: $names")
   }
 
   test("current_timestamp is available for snapshot time (C18)") {
