@@ -88,12 +88,14 @@ object LlmSim extends QueryModule {
           struct(col("d"), -col("cent_id"))).as("best"))
         .select(col("best.cent_id").as("cent_id"),
           col("best.embedding").as("embedding"))
-      // exact decimal sums keep the mean independent of partitioning
+      // exact decimal sums keep the mean independent of partitioning;
+      // 12 integer digits so raw (unnormalized) embeddings up to 1e12
+      // cannot overflow the cast to null and silently skew the mean
       val means = assigned
         .select(col("cent_id"),
           posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cent_id"), col("pos"))
-        .agg((sum(col("v").cast(DecimalType(18, 12))).cast("double") /
+        .agg((sum(col("v").cast(DecimalType(24, 12))).cast("double") /
           count(lit(1))).as("m"))
         .as[(Int, Int, Double)].collect()
       val byId = means.groupBy(_._1).map { case (cid, rows) =>
@@ -102,6 +104,67 @@ object LlmSim extends QueryModule {
       cents = cents.map { case (cid, old) => cid -> byId.getOrElse(cid, old) }
     }
     cents
+  }
+
+  /** 64-bit SimHash per document: (doc_id, n_words, simhash).
+    *
+    * Bit-majority counting uses packed-lane sums in a two-level
+    * aggregation so the counters are exact at any realistic document
+    * length:
+    *   - level 1 groups by (doc_id, 127-word chunk) and sums 8 longs
+    *     of 8 independent 8-bit lanes — a chunk holds ≤ 127 words, so
+    *     a lane cannot carry into its neighbor and the top lane's
+    *     weighted sum (127·2^56·…) stays under Long.Max;
+    *   - level 2 spreads each 8-bit lane into a 32-bit slot (mask
+    *     0x000000FF000000FF shifted — two lanes per long, 32 sums) and
+    *     sums per doc — exact up to 2^31 words per document, with a
+    *     raise_error guard past that instead of a silent wrap.
+    * The pre-round-3 single-level version silently corrupted the
+    * simhash of any ≥ 256-word document. Everything here is codegen'd
+    * HashAggregates — higher-order array folds would run interpreted
+    * and re-evaluate the hash per fold; level 1's map-side combine
+    * does the bulk reduction, so level 2's 33 buffers only ever see
+    * one row per 127 words.
+    */
+  private[graft] def simhash64(docs: DataFrame): DataFrame = {
+    val LANES8 = 0x0101010101010101L
+    val SPREAD = 0x000000FF000000FFL // lanes k and k+4 → 32-bit slots
+    val hashed = docs
+      .select(col("doc_id"),
+        posexplode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))),
+          " ")).as(Seq("pos", "w")))
+      .select(col("doc_id"), (col("pos") / 127).cast("int").as("chk"),
+        xxhash64(col("w")).as("wh"))
+    val lvl1Aggs = count(lit(1)).as("cn") +: (0 until 8).map { j =>
+      sum(shiftright(col("wh"), j).bitwiseAND(LANES8)).as(s"p_$j")
+    }
+    val lvl1 = hashed.groupBy(col("doc_id"), col("chk"))
+      .agg(lvl1Aggs.head, lvl1Aggs.tail: _*)
+    val lvl2Aggs = sum(col("cn")).as("n_words") +: (0 until 8).flatMap { j =>
+      (0 until 4).map { k =>
+        sum(shiftrightunsigned(col(s"p_$j"), 8 * k).bitwiseAND(SPREAD))
+          .as(s"q_${j}_$k")
+      }
+    }
+    val packed = lvl1.groupBy(col("doc_id"))
+      .agg(lvl2Aggs.head, lvl2Aggs.tail: _*)
+    // bit b lived in 8-bit lane l = b/8 of p_{b%8}; after the spread it
+    // is the (l/4)-th 32-bit slot of q_{b%8}_{l%4}
+    def cnt(b: Int): Column = {
+      val (j, l) = (b % 8, b / 8)
+      shiftrightunsigned(col(s"q_${j}_${l % 4}"), 32 * (l / 4))
+        .bitwiseAND(0xFFFFFFFFL)
+    }
+    val sim = (0 until 64).map { b =>
+      when(cnt(b) * 2 > col("n_words"), lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    packed.select(col("doc_id"), col("n_words"),
+      when(col("n_words") < (1L << 31), sim)
+        .otherwise(raise_error(concat(
+          lit("simhash64: document "), col("doc_id"), lit(" has "),
+          col("n_words"),
+          lit(" words, beyond the 2^31-word exact-counter capacity"))))
+        .as("simhash"))
   }
 
   /** Word-trigram shingles of the normalized text, hashed into [0, 2^30). */
@@ -171,31 +234,13 @@ object LlmSim extends QueryModule {
       None),
 
     // ─── d4: SimHash near-dup (64-bit, 16-bit-chunk banding) ───
-    // Bit-majority counting uses 8 packed byte-lane sums (each long
-    // carries 8 independent 8-bit counters; docs have < 128 words so
-    // lanes cannot carry) over exploded word hashes — one codegen'd
-    // HashAggregate with 9 buffers instead of 64 (higher-order array
-    // folds would run interpreted and re-evaluate the hash per fold).
+    // Signatures come from [[simhash64]] (two-level exact packed-lane
+    // majority counters, loud failure past 65,535 words); banding +
+    // sorted-neighborhood candidate generation below.
     "d4_dedup_simhash" -> Q(
       (s, dir) => {
-        val LANES = 0x0101010101010101L
-        val hashed = t(s, dir, "documents")
-          .select(col("doc_id"),
-            explode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))),
-              " ")).as("w"))
-          .select(col("doc_id"), xxhash64(col("w")).as("wh"))
-        val packedAggs = count(lit(1)).as("n_words") +:
-          (0 until 8).map { j =>
-            sum(shiftright(col("wh"), j).bitwiseAND(LANES)).as(s"packed_$j")
-          }
-        val packed = hashed.groupBy(col("doc_id"))
-          .agg(packedAggs.head, packedAggs.tail: _*)
-        val sim = packed.select(col("doc_id"),
-          (0 until 64).map { b =>
-            val cnt = shiftrightunsigned(col(s"packed_${b % 8}"), 8 * (b / 8))
-              .bitwiseAND(0xFFL)
-            when(cnt * 2 > col("n_words"), lit(1L << b)).otherwise(0L)
-          }.reduce(_ + _).as("simhash"))
+        val sim = simhash64(t(s, dir, "documents"))
+          .select(col("doc_id"), col("simhash"))
         val chunks = sim.select(col("doc_id"), col("simhash"),
           explode(array((0 until 4).map { c =>
             struct(lit(c).as("chunk"),
