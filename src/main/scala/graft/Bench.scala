@@ -5,17 +5,26 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: one JSON line with per-query wall times at
   * `SPARK_GRAFT_SF_DIR`.
   *
-  * A first untimed warm-up pass runs every query so the measured pass
-  * reports steady-state engine throughput rather than one-off JVM
-  * class-loading / whole-stage-codegen compilation (JMH-style; the
+  * A first untimed warm-up pass runs every query so the measured
+  * numbers report steady-state engine throughput rather than one-off
+  * JVM class-loading / whole-stage-codegen compilation (JMH-style; the
   * cold-start cost is amortized to zero on any long-lived cluster).
   * Set SPARK_GRAFT_WARMUP=0 to measure cold.
+  *
+  * Each query is then timed on SPARK_GRAFT_RUNS (default 3) full
+  * passes and reported as the per-query MEDIAN across passes — round-2
+  * showed single-pass times swinging 2-15x on unchanged code from JIT /
+  * GC / scheduler interference, which made the bench unable to detect
+  * real regressions. `value` is the sum of medians; `spread` is the
+  * max over queries of (max-min)/median across passes, a noise
+  * indicator for the run.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,20 +37,40 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val names = SparkEntry.queries.keys.toSeq.sorted
     if (warmup) {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      names.foreach { name =>
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case _: Throwable => () }
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    val samples: Seq[Map[String, Double]] = (1 to runs).map { _ =>
+      names.map { name =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val med = names.map(n => n -> median(samples.map(_(n)))).toMap
+    val spread = names.map { n =>
+      val xs = samples.map(_(n))
+      if (med(n) > 0) (xs.max - xs.min) / med(n) else 0.0
+    }.max
+    val qs = names.map(n => "\"" + n + "\":" + med(n))
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = med.values.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"spread":$spread,"failed":$failedJson}""")
     spark.stop()
   }
 }

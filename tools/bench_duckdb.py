@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Time a DuckDB replay of the oracle SQLs over a given sf directory.
+
+This is the single-node baseline the judge compares BENCH numbers
+against: the reference adapter delegates every query to DuckDB, so a
+warm in-process DuckDB run of the same SQL over the same parquet is
+the reference's best-case throughput (its real runs additionally pay
+dbt's python orchestration per model).
+
+One warm-up pass, then N (default 3) measured passes per query;
+reports the per-query median as one JSON line, same shape as
+graft.Bench. Strictly local benchmarking tooling.
+
+Usage: bench_duckdb.py <sfDir> <oracle_sql.json> [runs]
+"""
+import json
+import statistics
+import sys
+import time
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def main(sf_dir, oracle_path, runs=3):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(oracle_path))
+    names = sorted(oracle)
+    for name in names:  # warm-up (OS page cache, duckdb readers)
+        con.execute(oracle[name]).fetchall()
+    samples = {n: [] for n in names}
+    for _ in range(runs):
+        for name in names:
+            t0 = time.perf_counter()
+            con.execute(oracle[name]).fetchall()
+            samples[name].append(time.perf_counter() - t0)
+    med = {n: statistics.median(samples[n]) for n in names}
+    spread = max((max(s) - min(s)) / med[n] if med[n] > 0 else 0.0
+                 for n, s in samples.items())
+    print(json.dumps({"metric": "total", "value": sum(med.values()),
+                      "unit": "sec", "queries": med, "sf": sf_dir,
+                      "runs": runs, "spread": spread}))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 3)
