@@ -231,12 +231,22 @@ final class Catalog(val spark: SparkSession, val database: String) {
     * with (database, schema, table, name, ordinal, type).
     */
   def catalogTable(): DataFrame = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     import spark.implicits._
-    val rows = for {
-      schema <- listSchemas()
-      tbl <- listRelations(schema)
-      (f, i) <- columnsOf(schema, tbl).zipWithIndex
-    } yield (database, schema, tbl, f.name, (i + 1).toLong, f.dataType.sql)
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // footer opens are independent metadata reads — on an object store
+    // each is a round-trip, so they run concurrently, not in a
+    // sequential driver loop over every relation
+    val rels = for {
+      schema <- listSchemas(); tbl <- listRelations(schema)
+    } yield (schema, tbl)
+    val rows = Await.result(
+      Future.traverse(rels) { case (schema, tbl) =>
+        Future(columnsOf(schema, tbl).zipWithIndex.map { case (f, i) =>
+          (database, schema, tbl, f.name, (i + 1).toLong, f.dataType.sql)
+        })
+      }, Duration.Inf).flatten
     rows.toDF("table_database", "table_schema", "table_name",
       "column_name", "ordinal_position", "column_type")
   }

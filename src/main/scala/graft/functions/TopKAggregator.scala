@@ -21,9 +21,17 @@ final class TopKAggregator(k: Int)
 
   override def zero: Seq[(Double, Long)] = Seq.empty
 
+  // The buffer is kept sorted by `ord` as an invariant, so the per-row
+  // path is an O(k) bounded insertion (usually a single comparison
+  // against the current worst), not a re-sort of the buffer per row.
   override def reduce(buf: Seq[(Double, Long)],
       in: (Double, Long)): Seq[(Double, Long)] =
-    (buf :+ in).sorted(ord).take(k)
+    if (buf.length == k && ord.gteq(in, buf.last)) buf
+    else {
+      val i = buf.indexWhere(e => ord.lt(in, e))
+      val pos = if (i < 0) buf.length else i
+      ((buf.take(pos) :+ in) ++ buf.drop(pos)).take(k)
+    }
 
   override def merge(a: Seq[(Double, Long)],
       b: Seq[(Double, Long)]): Seq[(Double, Long)] =

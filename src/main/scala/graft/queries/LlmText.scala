@@ -111,10 +111,19 @@ object LlmText extends QueryModule {
         ORDER BY lang""")),
 
     // ─── d3: exact n-gram Jaccard pair similarity (oracle for the
-    // LSH candidates in d2; capped subset keeps the O(n²) oracle feasible) ───
+    // LSH candidates in d2) ───
+    // The verification sample is bounded ABSOLUTELY (≤ 150 docs), not
+    // as a corpus percentage: this is the exact all-pairs oracle twin,
+    // and on a bounded-vocabulary corpus shingle multiplicities grow
+    // with corpus size, so a %-subset self-join goes quadratic at
+    // scale (measured: it filled the disk at sf10 in BOTH engines).
+    // A fixed-size sample keeps the gate O(1) in corpus size; d2 is
+    // the scale path for the full corpus. doc_id < 750 is a no-op at
+    // the driver's sf0.01 gate (doc_ids there stop at 499).
     "d3_ngram_jaccard" -> Q(
       (s, dir) => {
-        val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+        val docs = t(s, dir, "documents")
+          .filter(col("doc_id") % 5 === 0 && col("doc_id") < 750)
           .select(col("doc_id"), split(norm(col("text")), " ").as("words"))
         // word trigram shingles, distinct per doc
         val tri = docs.select(col("doc_id"),
@@ -139,7 +148,7 @@ object LlmText extends QueryModule {
           SELECT doc_id,
             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
               AS words
-          FROM documents WHERE doc_id % 5 = 0),
+          FROM documents WHERE doc_id % 5 = 0 AND doc_id < 750),
         toks AS (SELECT doc_id, generate_subscripts(words, 1) AS pos,
                    unnest(words) AS w FROM docs),
         tri AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh

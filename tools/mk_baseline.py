@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Render BASELINE.md from graft.Bench / bench_duckdb.py JSON outputs.
+
+Usage: mk_baseline.py sf1=<spark.json>,<duck.json> [sf10=...] > BASELINE.md
+Local tooling; keeps the baseline document mechanically in sync with
+the measured numbers.
+"""
+import json
+import sys
+
+ENGINE_GATES = ("c_",)
+TEST_GATES = ("t_",)
+
+HEADER = """# BASELINE — reference (DuckDB) vs graft (Spark) on identical data
+
+The reference adapter (AlexanderVR/dbt-parquet) delegates every query
+to an in-process DuckDB over parquet files, so its best-case
+single-node throughput is a **warm DuckDB replay of the oracle SQLs**
+(`tools/bench_duckdb.py`; the reference's real runs additionally pay
+dbt's python/Jinja orchestration per model, ~0.1-0.3 s each). The
+Spark side is `graft.Bench`: same machine, `local[32]`,
+`spark.sql.shuffle.partitions=32`, AQE on, warm.
+
+Both sides report the **median of 3 measured passes per query** after
+an untimed warm-up pass (round 2 proved single-pass numbers swing
+2-15x on unchanged code). Data is the driver's sf0.1 tables scaled by
+key-shifted replication (`tools/gen_scale.py` — distributions,
+FK structure, and parquet schemas preserved exactly): sf1 = 6M
+lineitem rows / 151 MB, sf10 = 60M / 1.5 GB.
+
+## Category summaries
+
+Query categories:
+- **read queries** (q*, d*, s*, m1): pure reads — apples-to-apples.
+- **t_ data tests**: reads expressed via the DataTests API.
+- **c_ engine gates**: lifecycle/CTAS/compaction/roundtrip gates whose
+  Spark side performs real writes and catalog operations; the DuckDB
+  oracle replay only re-reads the equivalent result, so these ratios
+  overstate DuckDB (kept for completeness, not comparability).
+"""
+
+
+def load(p):
+    return json.load(open(p))
+
+
+def classify(name):
+    if name.startswith(ENGINE_GATES):
+        return "engine"
+    if name.startswith(TEST_GATES):
+        return "test"
+    return "read"
+
+
+def section(sf, spark, duck):
+    common = sorted(set(spark["queries"]) & set(duck["queries"]))
+    rows = []
+    sums = {}
+    for cat in ("read", "test", "engine"):
+        qs = [q for q in common if classify(q) == cat]
+        sp = sum(spark["queries"][q] for q in qs)
+        du = sum(duck["queries"][q] for q in qs)
+        sums[cat] = (len(qs), sp, du)
+    out = [f"\n## {sf}: summary\n"]
+    out.append("| category | queries | Spark s | DuckDB s | ratio |")
+    out.append("|---|---|---|---|---|")
+    total_sp = total_du = 0.0
+    for cat, label in (("read", "read queries"), ("test", "t_ data tests"),
+                       ("engine", "c_ engine gates (Spark writes, DuckDB reads)")):
+        n, sp, du = sums[cat]
+        total_sp += sp
+        total_du += du
+        out.append(f"| {label} | {n} | {sp:.2f} | {du:.2f} | "
+                   f"{sp / du:.2f}x |")
+    out.append(f"| **all oracled** | {len(common)} | {total_sp:.2f} | "
+               f"{total_du:.2f} | {total_sp / total_du:.2f}x |")
+    nsp = [q for q in spark["queries"] if q not in duck["queries"]]
+    out.append(
+        f"\nSpark additionally runs {len(nsp)} no-oracle queries "
+        f"({', '.join(sorted(nsp))}) totalling "
+        f"{sum(spark['queries'][q] for q in nsp):.2f} s, with no DuckDB "
+        f"equivalent to compare against.\n")
+    out.append(f"Spark bench spread (max over queries of (max-min)/median): "
+               f"{spark.get('spread', 0):.2f}; DuckDB replay spread: "
+               f"{duck.get('spread', 0):.2f}. Failed queries: "
+               f"{spark.get('failed', [])}.\n")
+    out.append(f"\n## {sf}: per-query medians (seconds)\n")
+    out.append("| query | Spark | DuckDB | ratio | category |")
+    out.append("|---|---|---|---|---|")
+    for q in common:
+        sp, du = spark["queries"][q], duck["queries"][q]
+        out.append(f"| {q} | {sp:.3f} | {du:.3f} | {sp / max(du, 1e-9):.2f}x "
+                   f"| {classify(q)} |")
+    return "\n".join(out)
+
+
+def main(args):
+    print(HEADER)
+    for arg in args:
+        sf, paths = arg.split("=")
+        spark_p, duck_p = paths.split(",")
+        print(section(sf, load(spark_p), load(duck_p)))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
