@@ -186,7 +186,21 @@ object LlmSim extends QueryModule {
     // jaccard verification is the same computation d3 oracles.)
     "d2_dedup_minhash" -> Q(
       (s, dir) => {
-        val tri = shingles(t(s, dir, "documents"))
+        // Exact duplicates are collapsed FIRST (one md5 hash-shuffle,
+        // keep the min-doc_id representative). LSH candidate
+        // enumeration is Ω(near-dup pairs); a corpus with k exact
+        // copies of a document would otherwise put k identical
+        // signatures in every band and pay k² candidate pairs for
+        // what the O(n) exact pass resolves outright — the standard
+        // dedup-pipeline ordering (exact → near) at 100 TB. On an
+        // exact-dup-free corpus this pre-step is the identity.
+        val reps = t(s, dir, "documents")
+          .groupBy(md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+            .as("fp"))
+          .agg(min(col("doc_id")).as("doc_id"),
+            min_by(col("text"), col("doc_id")).as("text"))
+          .select(col("doc_id"), col("text"))
+        val tri = shingles(reps)
         // 16 minhashes per doc, one shuffle
         val mhAggs = minhashCoef.zipWithIndex.map { case ((a, b), i) =>
           min(pmod(col("sh30") * a + b, lit(P30))).as(s"mh_$i")
