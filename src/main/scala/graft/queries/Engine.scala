@@ -162,6 +162,60 @@ object Engine extends QueryModule {
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment""")),
 
+    // ─── C20: incremental materialization (delete+insert by unique key) ───
+    // Base load (orders before 1998) then an overlapping increment
+    // (orders from 1997 on, prices doubled): rows in the overlap must
+    // be REPLACED by the increment, later rows appended — the oracle
+    // expresses exactly that merge outcome over the raw table.
+    "c_incremental" -> Q(
+      (s, dir) => {
+        val cat = new Catalog(s, scratch("incr"))
+        cat.dropRelation("", "orders_inc") // deterministic across reruns
+        val ord = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderdate"))
+        val base = ord.filter(col("o_orderdate") < lit("1998-01-01"))
+        val incr = ord.filter(col("o_orderdate") >= lit("1997-01-01"))
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        cat.createTableIncremental("", "orders_inc", base, Seq("o_orderkey"))
+        cat.createTableIncremental("", "orders_inc", incr, Seq("o_orderkey"))
+        cat.table("", "orders_inc").orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+          CASE WHEN o_orderdate >= timestamp '1997-01-01'
+               THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+          o_orderdate
+        FROM orders
+        ORDER BY o_orderkey""")),
+
+    // ─── C21: partition-granular incremental (dynamic overwrite) ───
+    // Full load partitioned by order year, then a re-load of JUST the
+    // 1997 partition with doubled prices; other partitions must be
+    // byte-untouched. This is the incremental path that scales: a
+    // daily batch replaces its own partitions of a 100 TB fact.
+    "c_incr_partition" -> Q(
+      (s, dir) => {
+        val cat = new Catalog(s, scratch("incrp"))
+        val ord = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            year(col("o_orderdate")).as("yr"))
+        cat.insertOverwritePartitions("", "ord_by_yr", ord, Seq("yr"))
+        val reload = ord.filter(col("yr") === 1997)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        cat.insertOverwritePartitions("", "ord_by_yr", reload, Seq("yr"))
+        cat.table("", "ord_by_yr")
+          .groupBy(col("yr").cast("long").as("yr"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+              .as("total"))
+          .orderBy(col("yr"))
+      },
+      Some(s"""SELECT cast(year(o_orderdate) as bigint) AS yr, count(*) AS n,
+          ${dsumSql("CASE WHEN year(o_orderdate) = 1997 THEN o_totalprice * 2 ELSE o_totalprice END")} AS total
+        FROM orders
+        GROUP BY yr
+        ORDER BY yr""")),
+
     // ─── C9: CSV seed → parquet ───
     "c_seed" -> Q(
       (s, dir) => {

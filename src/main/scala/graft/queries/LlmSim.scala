@@ -328,6 +328,54 @@ object LlmSim extends QueryModule {
         WHERE round(dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 12) > 0.3
         ORDER BY a, b""")),
 
+    // ─── d5b: LSH-bucketed embedding near-dup (the scale path) ───
+    // d5 is the capped exact oracle (all-pairs on 200 vectors, fenced
+    // by construction). This is the full-corpus version: candidates
+    // come ONLY from sign-LSH band buckets (8 bands × 4 planes, with
+    // hamming-1 multi-probe on the lower-id side), so the quadratic
+    // pair space is never materialized — per-bucket pair counts are
+    // the cost dial, exactly like d2's MinHash bands. Exact FloatVecDot
+    // cosine runs on candidates only; recall vs d5's exact pairs is
+    // asserted in NearDupSpec (rows-only: banding is engine-specific).
+    "d5b_embed_neardup_lsh" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val BANDS = 8
+        val PLANES = 4
+        def bucket(v: Column, band: Int): Column =
+          (0 until PLANES).map { p =>
+            when(dotDec(v, typedLit(hyperplanes(band * PLANES + p))) > 0,
+              lit(1L << p)).otherwise(0L)
+          }.reduce(_ + _)
+        val sigs = e.select(col("vec_id"),
+          explode(array((0 until BANDS).map { band =>
+            struct(lit(band).as("band"),
+              bucket(col("embedding"), band).as("bucket"))
+          }: _*)).as("bk"))
+          .select(col("vec_id"), col("bk.band").as("band"),
+            col("bk.bucket").as("bucket"))
+        val probeFlips = 0L +: (0 until PLANES).map(p => 1L << p)
+        val probes = sigs.select(col("vec_id"), col("band"),
+          explode(array(probeFlips.map(f =>
+            col("bucket").bitwiseXOR(lit(f))): _*)).as("bucket"))
+        val cands = probes.as("x").join(sigs.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.bucket") === col("y.bucket") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+          .distinct()
+        val withVecs = cands
+          .join(e.select(col("vec_id").as("a"), col("embedding").as("av")), "a")
+          .join(e.select(col("vec_id").as("b"), col("embedding").as("bv")), "b")
+        withVecs.select(col("a"), col("b"),
+            round(dotDec(col("av"), col("bv")) /
+              (sqrt(dotDec(col("av"), col("av"))) *
+                sqrt(dotDec(col("bv"), col("bv")))), 12).as("cosine"))
+          .filter(col("cosine") > 0.3)
+          .orderBy(col("a"), col("b"))
+      },
+      None),
+
     // ─── s1: brute-force cosine top-k (exact ANN baseline, oracled) ───
     "s1_ann_brute" -> Q(
       (s, dir) => {

@@ -135,6 +135,36 @@ class CatalogSpec extends AnyFunSuite {
     assert(names == Seq("x.parquet"), s"residue left behind: $names")
   }
 
+  test("incremental materialization merges by unique key") {
+    val cat = freshCatalog("incr")
+    import spark.implicits._
+    cat.createTableIncremental("", "t",
+      Seq((1, "a"), (2, "b")).toDF("k", "v"), Seq("k"))
+    cat.createTableIncremental("", "t",
+      Seq((2, "B"), (3, "c")).toDF("k", "v"), Seq("k"))
+    val got = cat.table("", "t").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == Set((1, "a"), (2, "B"), (3, "c")))
+  }
+
+  test("partition overwrite rewrites only the touched partitions") {
+    val cat = freshCatalog("incrp")
+    import spark.implicits._
+    cat.insertOverwritePartitions("", "p",
+      Seq((1, "x", 10), (2, "y", 20)).toDF("id", "v", "pt"), Seq("pt"))
+    def files(pt: Int) = cat.fs.listStatus(
+        new org.apache.hadoop.fs.Path(cat.relationPath("", "p"), s"pt=$pt"))
+      .map(st => (st.getPath.getName, st.getModificationTime)).toSet
+    val untouchedBefore = files(20)
+    cat.insertOverwritePartitions("", "p",
+      Seq((9, "z", 10)).toDF("id", "v", "pt"), Seq("pt"))
+    assert(files(20) == untouchedBefore,
+      "partition pt=20 must be byte-untouched by a pt=10 reload")
+    val got = cat.table("", "p").select(col("id")).collect()
+      .map(_.getInt(0)).toSet
+    assert(got == Set(9, 2), "pt=10 replaced, pt=20 kept")
+  }
+
   test("current_timestamp is available for snapshot time (C18)") {
     val now = spark.sql("select current_timestamp()").head().getTimestamp(0)
     assert(now.getTime > 0L)

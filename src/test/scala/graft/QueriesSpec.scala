@@ -15,7 +15,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only by design: engine-specific hashing / approximation
     assert(noOracle == Set("q27b_approx_countd", "d2_dedup_minhash",
-      "d4_dedup_simhash", "s2_ann_lsh", "s3_ann_ivf"))
+      "d4_dedup_simhash", "d5b_embed_neardup_lsh", "s2_ann_lsh",
+      "s3_ann_ivf"))
   }
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
@@ -56,6 +57,29 @@ class AnnSpec extends AnyFunSuite {
     // so benign perturbations don't fail a still-good quantizer
     assert(recallOf("s3_ann_ivf") >= 0.9,
       "IVF recall@5 regressed below 0.9")
+  }
+}
+
+/** d5b's LSH-bucketed candidates must recover the pairs the exact
+  * (capped) d5 baseline finds — the scale path may only trade recall
+  * for boundedness, and the trade is asserted here.
+  */
+class NearDupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("d5b bucketed pairs vs d5 exact pairs (recall and precision)") {
+    val exact = SparkEntry.queries("d5_embed_neardup")(spark, TestSpark.SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("d5b_embed_neardup_lsh")(spark, TestSpark.SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a < 200 && b < 200 }.toSet
+    assert(exact.nonEmpty && lsh.nonEmpty)
+    // every LSH pair is exact-verified with the same cosine/threshold,
+    // so precision on the subset must be 1.0 by construction
+    assert((lsh -- exact).isEmpty, s"non-exact pairs: ${(lsh -- exact).take(5)}")
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    info(f"d5b recall vs d5 = $recall%.2f (${exact.size} exact pairs)")
+    assert(recall >= 0.8, "LSH near-dup recall regressed below 0.8")
   }
 }
 
