@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructField
 
@@ -205,6 +205,63 @@ final class Catalog(val spark: SparkSession, val database: String) {
       val keys = df.select(uniqueKey.map(col): _*).distinct()
       val kept = table(schema, tableName).join(keys, uniqueKey, "left_anti")
       createTableAs(schema, tableName, kept.unionByName(df))
+    }
+  }
+
+  /** dbt-style snapshot (SCD-2, `check` strategy) — the reference
+    * adapter skips snapshots for parquet entirely; here they are one
+    * more atomic-swap materialization. Each call compares the incoming
+    * rows against the CURRENT version of each key (valid_to IS NULL):
+    * changed rows get their current version closed (valid_to = asOf)
+    * and a new version opened; unseen keys just open a version;
+    * unchanged rows and already-closed history pass through untouched.
+    * `asOf` is an explicit timestamp literal so runs are deterministic
+    * and replayable (pass current_timestamp at the call site for wall
+    * clock). Change detection hashes the payload columns as canonical
+    * JSON. All joins are key-equi-joins — the history table never
+    * self-joins on anything wider, so the shape scales like any
+    * incremental merge.
+    */
+  def snapshot(schema: String, tableName: String, df: DataFrame,
+      uniqueKey: Seq[String], asOf: String): Unit = {
+    val at = to_timestamp(lit(asOf))
+    val payload = df.columns.filterNot(uniqueKey.contains).toSeq
+    def fingerprint(d: DataFrame): Column =
+      md5(to_json(struct(payload.sorted.map(d.col): _*)))
+    val incoming = df.withColumn("_fp", fingerprint(df))
+    if (!listRelations(schema).contains(tableName)) {
+      createTableAs(schema, tableName,
+        incoming.drop("_fp")
+          .withColumn("dbt_valid_from", at)
+          .withColumn("dbt_valid_to", lit(null).cast("timestamp")))
+    } else {
+      val cur = table(schema, tableName)
+      val closed = cur.filter(col("dbt_valid_to").isNotNull)
+      val open = cur.filter(col("dbt_valid_to").isNull)
+      val openFp = open.withColumn("_fp",
+        md5(to_json(struct(payload.sorted.map(open.col): _*))))
+      val inKeyed = incoming.select(
+        (uniqueKey.map(col) :+ col("_fp").as("_fp_new")): _*)
+      val joined = openFp.join(inKeyed, uniqueKey, "left_outer")
+      // current versions: close if the payload changed, keep otherwise
+      val stillOpen = joined
+        .filter(col("_fp_new").isNull || col("_fp_new") === col("_fp"))
+        .drop("_fp", "_fp_new")
+      val nowClosed = joined
+        .filter(col("_fp_new").isNotNull && col("_fp_new") =!= col("_fp"))
+        .drop("_fp", "_fp_new")
+        .withColumn("dbt_valid_to", at)
+      // incoming rows that open a new version: new keys or changed rows
+      val opens = incoming
+        .join(openFp.select((uniqueKey.map(col) :+
+          col("_fp").as("_fp_cur")): _*), uniqueKey, "left_outer")
+        .filter(col("_fp_cur").isNull || col("_fp_cur") =!= col("_fp"))
+        .drop("_fp", "_fp_cur")
+        .withColumn("dbt_valid_from", at)
+        .withColumn("dbt_valid_to", lit(null).cast("timestamp"))
+      createTableAs(schema, tableName,
+        closed.unionByName(stillOpen).unionByName(nowClosed)
+          .unionByName(opens))
     }
   }
 

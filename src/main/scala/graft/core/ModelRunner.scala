@@ -17,7 +17,8 @@ final case class Model(
     name: String,
     sql: String,
     schema: String = "",
-    singleFile: Boolean = false) {
+    singleFile: Boolean = false,
+    ephemeral: Boolean = false) {
 
   /** Names this model `ref()`s. */
   def refs: Seq[String] =
@@ -84,8 +85,15 @@ final class ModelRunner(
 
   private def materialize(m: Model, byName: Map[String, Model]): Unit = {
     val rendered = render(m, byName)
-    target.createTableAs(m.schema, m.name, target.spark.sql(rendered),
-      singleFile = m.singleFile)
+    if (m.ephemeral)
+      // dbt ephemeral: participates in the DAG but is never written —
+      // it registers under the same view name refs resolve to, so
+      // downstream models are oblivious to the materialization mode
+      target.spark.sql(rendered)
+        .createOrReplaceTempView(target.viewName(m.schema, m.name))
+    else
+      target.createTableAs(m.schema, m.name, target.spark.sql(rendered),
+        singleFile = m.singleFile)
   }
 
   /** Resolve `{{ ref/source }}` to registered view names; sources are

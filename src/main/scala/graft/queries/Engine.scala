@@ -216,6 +216,43 @@ object Engine extends QueryModule {
         GROUP BY yr
         ORDER BY yr""")),
 
+    // ─── C22: SCD-2 snapshot (check strategy, deterministic asOf) ───
+    // Snapshot the same keys twice: first the base state, then a state
+    // where post-1997 orders changed price. Expected history: every
+    // base row opened at t1 (closed at t2 iff it changed), plus a new
+    // open version at t2 for each changed key — exactly what the
+    // oracle SQL constructs from the raw table.
+    "c_snapshot" -> Q(
+      (s, dir) => {
+        val cat = new Catalog(s, scratch("snap"))
+        cat.dropRelation("", "ord_snap") // deterministic across reruns
+        val base = t(s, dir, "orders").filter(col("o_custkey") <= 200)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderdate"))
+        val updated = base.withColumn("o_totalprice",
+          when(col("o_orderdate") >= lit("1997-01-01"),
+            col("o_totalprice") + 1000).otherwise(col("o_totalprice")))
+        cat.snapshot("", "ord_snap", base, Seq("o_orderkey"),
+          "2026-01-01 00:00:00")
+        cat.snapshot("", "ord_snap", updated, Seq("o_orderkey"),
+          "2026-02-01 00:00:00")
+        cat.table("", "ord_snap")
+          .orderBy(col("o_orderkey"), col("dbt_valid_from"))
+      },
+      Some("""WITH base AS (
+          SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+          FROM orders WHERE o_custkey <= 200)
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+          timestamp '2026-01-01 00:00:00' AS dbt_valid_from,
+          CASE WHEN o_orderdate >= timestamp '1997-01-01'
+               THEN timestamp '2026-02-01 00:00:00' END AS dbt_valid_to
+        FROM base
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice + 1000, o_orderdate,
+          timestamp '2026-02-01 00:00:00', NULL
+        FROM base WHERE o_orderdate >= timestamp '1997-01-01'
+        ORDER BY o_orderkey, dbt_valid_from""")),
+
     // ─── C9: CSV seed → parquet ───
     "c_seed" -> Q(
       (s, dir) => {

@@ -165,6 +165,26 @@ class CatalogSpec extends AnyFunSuite {
     assert(got == Set(9, 2), "pt=10 replaced, pt=20 kept")
   }
 
+  test("snapshot: unchanged rows stay open, re-snapshot is a no-op") {
+    val cat = freshCatalog("snap")
+    import spark.implicits._
+    val v1 = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    cat.snapshot("", "s", v1, Seq("k"), "2026-01-01 00:00:00")
+    val v2 = Seq((1, "a"), (2, "B"), (3, "c")).toDF("k", "v")
+    cat.snapshot("", "s", v2, Seq("k"), "2026-02-01 00:00:00")
+    // snapshotting the same state again must change nothing
+    cat.snapshot("", "s", v2, Seq("k"), "2026-03-01 00:00:00")
+    val rows = cat.table("", "s").collect().map { r =>
+      (r.getInt(0), r.getString(1),
+        Option(r.getTimestamp(3)).map(_.toString).orNull)
+    }.toSet
+    assert(rows == Set(
+      (1, "a", null),                      // never changed, still open
+      (2, "b", "2026-02-01 00:00:00.0"),   // closed at t2
+      (2, "B", null),                      // new version open
+      (3, "c", null)))                     // appeared at t2
+  }
+
   test("current_timestamp is available for snapshot time (C18)") {
     val now = spark.sql("select current_timestamp()").head().getTimestamp(0)
     assert(now.getTime > 0L)
@@ -198,6 +218,17 @@ class ModelRunnerSpec extends AnyFunSuite {
       threads = 2)
     assert(order == Seq("base", "mid", "final"))
     assert(target.table("", "final").head().getLong(0) == 4)
+  }
+
+  test("ephemeral models resolve in the DAG but are never written") {
+    val (target, r) = runner()
+    r.run(Seq(
+      Model("base", "select * from {{ source('', 'region') }}",
+        ephemeral = true),
+      Model("final", "select count(*) as n from {{ ref('base') }}")))
+    assert(target.listRelations("") == Seq("final"),
+      "ephemeral model must not materialize")
+    assert(target.table("", "final").head().getLong(0) == 5)
   }
 
   test("cross-schema ref resolves to the referenced model's schema") {
