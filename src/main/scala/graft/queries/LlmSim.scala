@@ -41,6 +41,17 @@ object LlmSim extends QueryModule {
       ((math.abs(it.next()) % 2001) / 1000.0 - 1.0).toFloat))
   }
 
+  /** 128 hyperplanes (8 bands × 16 planes) for the near-dup LSH (d5b).
+    * 16 planes per band give a 2^-16 random-pair band-collision rate —
+    * near-dup detection needs far more selective buckets than top-k
+    * search (s2), where missing a candidate only costs rank quality.
+    */
+  private val ndupPlanes: Seq[Seq[Float]] = {
+    val it = lcgStream(19L)
+    Seq.fill(128)(Seq.fill(64)(
+      ((math.abs(it.next()) % 2001) / 1000.0 - 1.0).toFloat))
+  }
+
   private val DEC = DecimalType(18, 15)
 
   /** Exact (order-independent) dot product of two float arrays:
@@ -330,24 +341,37 @@ object LlmSim extends QueryModule {
 
     // ─── d5b: LSH-bucketed embedding near-dup (the scale path) ───
     // d5 is the capped exact oracle (all-pairs on 200 vectors, fenced
-    // by construction). This is the full-corpus version: candidates
-    // come ONLY from sign-LSH band buckets (8 bands × 4 planes, with
-    // hamming-1 multi-probe on the lower-id side), so the quadratic
-    // pair space is never materialized — per-bucket pair counts are
-    // the cost dial, exactly like d2's MinHash bands. Exact FloatVecDot
-    // cosine runs on candidates only; recall vs d5's exact pairs is
-    // asserted in NearDupSpec (rows-only: banding is engine-specific).
+    // by construction). This is the full-corpus version, and like d1b
+    // it proves itself by injecting its own targets: perturbed copies
+    // (cosine ≈ 0.9999) of the first 50 vectors join the corpus, and
+    // the operator must recover every (original, copy) pair WITHOUT
+    // materializing the quadratic pair space. Candidates come only
+    // from sign-LSH band buckets — 8 bands × 16 planes, so two random
+    // vectors share a band with p ≈ 2^-16 (the corpus costs ~n·bands
+    // rows), while hamming-1 multi-probe holds near-dup recall at
+    // ≈ 1.0. Exact FloatVecDot cosine runs on candidates only; pair
+    // recovery is asserted in NearDupSpec (rows-only: banding is
+    // engine-specific). Near-dup LSH needs these much more selective
+    // buckets than top-k search (s2): here a collision must *mean*
+    // near-identical, not merely similar.
     "d5b_embed_neardup_lsh" -> Q(
       (s, dir) => {
         val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        // deterministic near-dup injection: tiny sinusoidal perturbation
+        val injected = e.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            expr("""transform(embedding,
+                 (x, i) -> cast(x + 0.001d * sin(cast(vec_id as double) * 31 + i)
+                   as float))""").as("embedding"))
+        val corpus = e.unionByName(injected)
         val BANDS = 8
-        val PLANES = 4
+        val PLANES = 16
         def bucket(v: Column, band: Int): Column =
           (0 until PLANES).map { p =>
-            when(dotDec(v, typedLit(hyperplanes(band * PLANES + p))) > 0,
+            when(dotDec(v, typedLit(ndupPlanes(band * PLANES + p))) > 0,
               lit(1L << p)).otherwise(0L)
           }.reduce(_ + _)
-        val sigs = e.select(col("vec_id"),
+        val sigs = corpus.select(col("vec_id"),
           explode(array((0 until BANDS).map { band =>
             struct(lit(band).as("band"),
               bucket(col("embedding"), band).as("bucket"))
@@ -365,13 +389,15 @@ object LlmSim extends QueryModule {
           .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
           .distinct()
         val withVecs = cands
-          .join(e.select(col("vec_id").as("a"), col("embedding").as("av")), "a")
-          .join(e.select(col("vec_id").as("b"), col("embedding").as("bv")), "b")
+          .join(corpus.select(col("vec_id").as("a"),
+            col("embedding").as("av")), "a")
+          .join(corpus.select(col("vec_id").as("b"),
+            col("embedding").as("bv")), "b")
         withVecs.select(col("a"), col("b"),
             round(dotDec(col("av"), col("bv")) /
               (sqrt(dotDec(col("av"), col("av"))) *
                 sqrt(dotDec(col("bv"), col("bv")))), 12).as("cosine"))
-          .filter(col("cosine") > 0.3)
+          .filter(col("cosine") > 0.99)
           .orderBy(col("a"), col("b"))
       },
       None),

@@ -60,26 +60,23 @@ class AnnSpec extends AnyFunSuite {
   }
 }
 
-/** d5b's LSH-bucketed candidates must recover the pairs the exact
-  * (capped) d5 baseline finds — the scale path may only trade recall
-  * for boundedness, and the trade is asserted here.
+/** d5b injects 50 perturbed near-copies (cosine ≈ 0.9999) into the
+  * corpus and must recover every (original, copy) pair through its
+  * LSH buckets alone — full recall on true near-dups, and nothing
+  * else on this no-natural-near-dup corpus (precision by the exact
+  * cosine filter on candidates).
   */
 class NearDupSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  test("d5b bucketed pairs vs d5 exact pairs (recall and precision)") {
-    val exact = SparkEntry.queries("d5_embed_neardup")(spark, TestSpark.SF)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = SparkEntry.queries("d5b_embed_neardup_lsh")(spark, TestSpark.SF)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .filter { case (a, b) => a < 200 && b < 200 }.toSet
-    assert(exact.nonEmpty && lsh.nonEmpty)
-    // every LSH pair is exact-verified with the same cosine/threshold,
-    // so precision on the subset must be 1.0 by construction
-    assert((lsh -- exact).isEmpty, s"non-exact pairs: ${(lsh -- exact).take(5)}")
-    val recall = (exact intersect lsh).size.toDouble / exact.size
-    info(f"d5b recall vs d5 = $recall%.2f (${exact.size} exact pairs)")
-    assert(recall >= 0.8, "LSH near-dup recall regressed below 0.8")
+  test("d5b recovers all injected near-dup pairs, and only them") {
+    val got = SparkEntry.queries("d5b_embed_neardup_lsh")(spark, TestSpark.SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    val expected = (0L until 50L).map(i => (i, i + 1000000L)).toSet
+    assert(pairs == expected,
+      s"missing: ${(expected -- pairs).take(5)}, spurious: ${(pairs -- expected).take(5)}")
+    assert(got.forall(_._3 > 0.99), "recovered pairs must be near-identical")
   }
 }
 
