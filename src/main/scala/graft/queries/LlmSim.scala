@@ -366,18 +366,11 @@ object LlmSim extends QueryModule {
         val corpus = e.unionByName(injected)
         val BANDS = 8
         val PLANES = 16
-        def bucket(v: Column, band: Int): Column =
-          (0 until PLANES).map { p =>
-            when(dotDec(v, typedLit(ndupPlanes(band * PLANES + p))) > 0,
-              lit(1L << p)).otherwise(0L)
-          }.reduce(_ + _)
+        // all 8 buckets in ONE codegen'd kernel — see FloatVecSignBuckets
         val sigs = corpus.select(col("vec_id"),
-          explode(array((0 until BANDS).map { band =>
-            struct(lit(band).as("band"),
-              bucket(col("embedding"), band).as("bucket"))
-          }: _*)).as("bk"))
-          .select(col("vec_id"), col("bk.band").as("band"),
-            col("bk.bucket").as("bucket"))
+          posexplode(graft.functions.FloatVecSignBuckets.buckets(
+            col("embedding"), ndupPlanes, BANDS, PLANES))
+            .as(Seq("band", "bucket")))
         val probeFlips = 0L +: (0 until PLANES).map(p => 1L << p)
         val probes = sigs.select(col("vec_id"), col("band"),
           explode(array(probeFlips.map(f =>
@@ -464,19 +457,11 @@ object LlmSim extends QueryModule {
         val e = t(s, dir, "embeddings")
         val BANDS = 8
         val PLANES = 4
-        // 4-bit bucket id per band, all 8 in one codegen'd projection
-        def bucket(v: Column, band: Int): Column =
-          (0 until PLANES).map { p =>
-            when(dotDec(v, typedLit(hyperplanes(band * PLANES + p))) > 0,
-              lit(1L << p)).otherwise(0L)
-          }.reduce(_ + _)
+        // all 8 4-bit buckets in one codegen'd kernel (FloatVecSignBuckets)
         val sigs = e.select(col("vec_id"), col("embedding"),
-          explode(array((0 until BANDS).map { band =>
-            struct(lit(band).as("band"),
-              bucket(col("embedding"), band).as("bucket"))
-          }: _*)).as("bk"))
-          .select(col("vec_id"), col("embedding"),
-            col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+          posexplode(graft.functions.FloatVecSignBuckets.buckets(
+            col("embedding"), hyperplanes, BANDS, PLANES))
+            .as(Seq("band", "bucket")))
         val probeFlips = 0L +: (0 until PLANES).map(p => 1L << p)
         val queries = sigs.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
