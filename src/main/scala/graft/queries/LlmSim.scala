@@ -356,7 +356,16 @@ object LlmSim extends QueryModule {
     // near-identical, not merely similar.
     "d5b_embed_neardup_lsh" -> Q(
       (s, dir) => {
-        val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        // exact-then-near, like d2: byte-identical vectors collapse to
+        // their min-id representative first (one shuffle on the full
+        // array as the group key — exact, no hash-collision risk).
+        // A corpus with k exact copies of a vector holds k²/2 true
+        // near-dup pairs; listing them is the exact pass's O(n) job,
+        // not the LSH's.
+        val e = t(s, dir, "embeddings")
+          .groupBy(col("embedding"))
+          .agg(min(col("vec_id")).as("vec_id"))
+          .select(col("vec_id"), col("embedding"))
         // deterministic near-dup injection: tiny sinusoidal perturbation
         val injected = e.filter(col("vec_id") < 50)
           .select((col("vec_id") + 1000000L).as("vec_id"),
