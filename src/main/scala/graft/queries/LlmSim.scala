@@ -76,7 +76,20 @@ object LlmSim extends QueryModule {
     * fixed iteration count, order-independent decimal-grid dot products
     * and decimal mean sums, smallest-centroid-id assignment tiebreak.
     */
-  private[graft] def trainCentroids(s: SparkSession, e: DataFrame,
+  private[graft] def trainCentroids(s: SparkSession, e0: DataFrame,
+      k: Int, iters: Int): Seq[(Int, Seq[Float])] = {
+    import s.implicits._
+    // the training set is scanned 2x per Lloyd iteration; persist it
+    // for the (bounded) lifetime of training and release before
+    // returning — at 100 TB the training input is a sample, so the
+    // cached footprint is the sample size, not the corpus
+    val e = e0.persist()
+    try {
+      trainCentroidsOn(s, e, k, iters)
+    } finally e.unpersist()
+  }
+
+  private def trainCentroidsOn(s: SparkSession, e: DataFrame,
       k: Int, iters: Int): Seq[(Int, Seq[Float])] = {
     import s.implicits._
     def normalize(v: Array[Double]): Seq[Float] = {
