@@ -61,12 +61,17 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val med = names.map(n => n -> median(samples.map(_(n)))).toMap
-    val spread = names.map { n =>
+    // A failed query's elapsed-to-exception is not a throughput
+    // sample: report it as null and keep it out of the total/spread so
+    // a fast-failing query cannot deflate the headline number.
+    val ok = names.filterNot(failed.contains)
+    val med = ok.map(n => n -> median(samples.map(_(n)))).toMap
+    val spread = (0.0 +: ok.map { n =>
       val xs = samples.map(_(n))
       if (med(n) > 0) (xs.max - xs.min) / med(n) else 0.0
-    }.max
-    val qs = names.map(n => "\"" + n + "\":" + med(n))
+    }).max
+    val qs = names.map(n =>
+        "\"" + n + "\":" + med.get(n).map(_.toString).getOrElse("null"))
       .mkString("{", ",", "}")
     val total = med.values.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -149,7 +149,10 @@ final class Catalog(val spark: SparkSession, val database: String) {
     * between the two renames can observe the relation briefly absent —
     * but never a half-written one. That is the strongest guarantee a
     * plain filesystem (or object store) rename gives without a
-    * metastore. With `singleFile=true` the result is one physical
+    * metastore. A call that crashes between the two renames leaves the
+    * only complete copy under the hidden `.old` name; the next call
+    * restores it before doing anything else, so the data survives the
+    * crash. With `singleFile=true` the result is one physical
     * `.parquet` file (byte-compatible with the reference's layout);
     * otherwise it is a `{table}.parquet/` directory of part files
     * (the scale path — writers stay fully parallel).
@@ -162,7 +165,17 @@ final class Catalog(val spark: SparkSession, val database: String) {
     val tmp = new Path(parent, s".$tableName.parquet.tmp")
     val old = new Path(parent, s".$tableName.parquet.old")
     fs.delete(tmp, true)
-    fs.delete(old, true)
+    // Crash recovery: a prior call that died between rename-aside and
+    // swap-in left the only complete copy in `.old` with the target
+    // absent — restore it before the write below gets a chance to
+    // fail and make the loss permanent. A leftover `.old` NEXT TO an
+    // existing target is debris from a crash after swap-in: safe to drop.
+    if (fs.exists(old)) {
+      if (!fs.exists(target))
+        require(fs.rename(old, target),
+          s"crash-recovery restore of $target from $old failed")
+      else fs.delete(old, true)
+    }
     val writer = if (singleFile) df.coalesce(1) else df
     writer.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val fresh =
@@ -365,11 +378,14 @@ final class Catalog(val spark: SparkSession, val database: String) {
       columns: Seq[String] = Seq.empty): DataFrame = {
     val names = if (columns.nonEmpty) columns else a.columns.toSeq.sorted
     val cols = names.map(col)
-    a.select(cols :+ lit(1L).as("_w"): _*)
-      .unionAll(b.select(cols :+ lit(-1L).as("_w"): _*))
+    // internal aliases must not collide with the user's column names
+    var w = "_w"; while (names.contains(w)) w += "_"
+    var d = "_d"; while (names.contains(d) || d == w) d += "_"
+    a.select(cols :+ lit(1L).as(w): _*)
+      .unionAll(b.select(cols :+ lit(-1L).as(w): _*))
       .groupBy(names.map(col): _*)
-      .agg(sum(col("_w")).as("_d"))
-      .agg(coalesce(sum(col("_d")), lit(0L)).as("row_count_difference"),
-        coalesce(sum(abs(col("_d"))), lit(0L)).as("num_mismatched"))
+      .agg(sum(col(w)).as(d))
+      .agg(coalesce(sum(col(d)), lit(0L)).as("row_count_difference"),
+        coalesce(sum(abs(col(d))), lit(0L)).as("num_mismatched"))
   }
 }

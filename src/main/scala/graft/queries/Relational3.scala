@@ -29,11 +29,13 @@ object Relational3 extends QueryModule {
     // parse_json → variant_get (Spark 4's binary variant encoding)
     // instead of get_json_object: one structural parse per row with a
     // typed path read, ~2x faster than the per-call Jackson path walk.
+    // try_parse_json, not parse_json: malformed JSON must yield NULL
+    // (the oracle's json_extract_string semantics), not an exception.
     "q40_json" -> Q(
       (s, dir) => {
         Q.events(s, dir)
           .select(col("event_id"),
-            try_variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+            try_variant_get(try_parse_json(col("props")), "$.k", "long").as("k"))
           .groupBy((col("k") % 10).as("k_mod"))
           .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
           .orderBy(col("k_mod"))

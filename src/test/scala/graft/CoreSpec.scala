@@ -47,6 +47,29 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.table("", "one").count() == 100)
   }
 
+  test("ctas recovers the pre-crash copy left aside by an interrupted swap") {
+    val cat = freshCatalog("crash")
+    import spark.implicits._
+    cat.createTableAs("", "t", Seq(1, 2, 3).toDF("n"))
+    val target = cat.relationPath("", "t")
+    val old = new org.apache.hadoop.fs.Path(target.getParent, ".t.parquet.old")
+    // Simulate a crash between rename-aside and swap-in: the only
+    // complete copy sits under the hidden .old name, target is absent.
+    assert(cat.fs.rename(target, old))
+    // The next CTAS attempt fails mid-write (assert_true throws per
+    // row) — but it must FIRST restore the .old copy, not destroy it.
+    val bad = spark.range(3).select(assert_true(lit(false)).as("ok"))
+    intercept[Exception] { cat.createTableAs("", "t", bad) }
+    assert(cat.table("", "t").as[Int].collect().sorted.toSeq == Seq(1, 2, 3),
+      "pre-crash data must survive a failed rewrite after an interrupted swap")
+    // A successful CTAS after a crash-after-swap-in (both target and
+    // .old present) drops the debris and overwrites normally.
+    assert(cat.fs.mkdirs(old))
+    cat.createTableAs("", "t", Seq(9).toDF("n"))
+    assert(!cat.fs.exists(old))
+    assert(cat.table("", "t").as[Int].collect().toSeq == Seq(9))
+  }
+
   test("rename moves the file and re-registers the view") {
     val cat = freshCatalog("rename")
     import spark.implicits._
@@ -95,6 +118,16 @@ class CatalogSpec extends AnyFunSuite {
     // duplicates count with multiplicity, both directions
     val m = cat.rowsDifferent(Seq(1, 1, 2).toDF("n"), Seq(2, 3).toDF("n")).head()
     assert(m.getLong(0) == 1 && m.getLong(1) == 3) // {1,1} vs {3}
+  }
+
+  test("rowsDifferent tolerates user columns named _w / _d") {
+    val cat = freshCatalog("diffcollide")
+    import spark.implicits._
+    val a = Seq((1, 10L), (2, 20L)).toDF("_w", "_d")
+    val b = Seq((1, 10L)).toDF("_w", "_d")
+    val r = cat.rowsDifferent(a, b).head()
+    assert(r.getLong(0) == 1 && r.getLong(1) == 1,
+      "internal weight/delta aliases must not shadow user columns")
   }
 
   test("rowsDifferent builds one lazy plan (no eager driver actions)") {

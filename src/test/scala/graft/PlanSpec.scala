@@ -71,6 +71,22 @@ class PlanSpec extends AnyFunSuite {
       s"offsets must join back via broadcast:\n$p")
   }
 
+  test("q20's range exchange is evaluated once (reused, not recomputed)") {
+    // RangePartitioner boundaries are sampled per evaluation, so the
+    // pid-alignment between the row_number branch and the offsets
+    // branch is only sound if the two branches share ONE materialized
+    // exchange. Drive the query to completion and assert the final
+    // adaptive plan reuses the range stage instead of planting a
+    // second independent rangepartitioning exchange.
+    val df = SparkEntry.queries("q20_window_ntile")(spark, TestSpark.SF)
+    df.collect() // drive THIS plan (count() would execute a different one)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), s"adaptive plan did not finalize:\n$p")
+    val planted = "Exchange rangepartitioning".r.findAllIn(p).size
+    assert(planted == 1 || p.contains("ReusedExchange"),
+      s"expected a single (reused) range exchange, found $planted independent ones:\n$p")
+  }
+
   test("q36 range join stays an equi-join (no nested-loop)") {
     val p = planOf("q36_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

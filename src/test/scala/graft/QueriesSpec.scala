@@ -25,6 +25,24 @@ class QueriesSmokeSpec extends AnyFunSuite {
       assert(df.count() > 0, s"$name returned 0 rows")
     }
   }
+
+  test("q40 yields NULL on malformed JSON (oracle semantics), not an exception") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q40").toString
+    Seq((1L, """{"k": 7}""", new java.sql.Timestamp(0L)),
+        (2L, "not json {", new java.sql.Timestamp(0L)),
+        (3L, null.asInstanceOf[String], new java.sql.Timestamp(0L)))
+      .toDF("event_id", "props", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("q40_json")(spark, dir).collect()
+    // the malformed and null props must land in the NULL k_mod group,
+    // matching DuckDB's json_extract_string null-on-malformed behavior
+    assert(rows.length == 2, s"expected {7, NULL} groups, got ${rows.toSeq}")
+    val nullGroup = rows.find(_.isNullAt(0)).get
+    assert(nullGroup.getLong(1) == 2)
+    val sevens = rows.find(r => !r.isNullAt(0) && r.getLong(0) == 7).get
+    assert(sevens.getLong(1) == 1 && sevens.getLong(2) == 7L)
+  }
 }
 
 /** s2's LSH candidates must be a subset of the exact ranking and
