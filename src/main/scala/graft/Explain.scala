@@ -2,33 +2,39 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Diagnostic main: print the formatted physical plan (and, with
-  * SPARK_GRAFT_RUN=1, the post-execution adaptive plan) of the named
-  * queries — the `.explain("formatted")` review loop SURVEY §3's plan
-  * audits come from.
-  *
-  * Usage: runMain graft.Explain <sfDir> <query> [query...]
+/** Dev tool: time (3-run median after warm-up) and print the plan of
+  * selected queries at a given SF dir. Usage:
+  * `runMain graft.Explain <sfDir> [query ...]` — no args = all.
+  * Set GRAFT_EXPLAIN=1 to also dump the formatted plan.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val names = args.drop(1).toSeq
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names =
+      if (args.length > 1) args.tail.toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (name <- names) {
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      println(s"========== $name ==========")
-      df.explain("formatted")
-      if (sys.env.get("SPARK_GRAFT_RUN").contains("1")) {
-        df.count()
-        println(s"---------- $name (final adaptive plan) ----------")
+    for (n <- names) {
+      val q = SparkEntry.queries(n)
+      q(spark, sfDir).count() // warm
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        q(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"== $n%-22s median ${ts(1)}%.3f s  (${ts.mkString(", ")})")
+      if (sys.env.get("GRAFT_EXPLAIN").contains("1")) {
+        val df = q(spark, sfDir)
+        df.collect()
         println(df.queryExecution.executedPlan.toString)
       }
     }

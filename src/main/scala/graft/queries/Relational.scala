@@ -90,12 +90,25 @@ object Relational extends QueryModule {
         val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
         val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
         val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
-        li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-          .groupBy(col("l_orderkey"),
-            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+        // Aggregate lineitem per orderkey BEFORE the join (o_orderdate
+        // is functionally dependent on the join key, so revenue per
+        // orderkey is the same either side of it): the orderkey
+        // shuffle then carries one partially-combined row per order
+        // instead of every line item. The broadcast customer
+        // semi-filter runs on the orders side BEFORE its shuffle, so
+        // the 1/5 segment selectivity also cuts shuffle volume 5x.
+        val liAgg = li
+          .groupBy(col("l_orderkey"))
           .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
             .as("revenue"))
+        val ordF = ord
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        liAgg.join(ordF.hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            col("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey"))
           .limit(10)
       },
@@ -144,14 +157,37 @@ object Relational extends QueryModule {
             col("o_orderdate") < lit("1999-01-01"))
         val li = t(s, dir, "lineitem")
         val sup = t(s, dir, "supplier")
-        li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-          .join(cust, col("o_custkey") === col("c_custkey"))
-          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        // Pre-aggregated star join. The supplier join carries no
+        // payload columns and s_suppkey is unique, so inner ≡
+        // left_semi against a broadcast key set (no 60M-row shuffle
+        // through a wide join). Revenue is then partially summed per
+        // orderkey BEFORE the orderkey shuffle — decimal addition is
+        // exact and associative, so nesting the sums leaves the final
+        // n_name totals bit-identical to the flat oracle sum. The
+        // region→nation→customer chain collapses to one pre-filtered
+        // dimension (ASIA customers + their nation name) joined after
+        // the fact tables, when only ~one row per order remains.
+        val asiaN = nation
           .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val custA = cust
+          .join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name"))
+        val liAgg = li
+          .join(broadcast(sup.select(col("s_suppkey"))),
+            col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .groupBy(col("l_orderkey"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4))).as("rev"))
+        liAgg
+          // shuffle_hash, not sort-merge: neither side's ordering is
+          // reusable downstream, so hashing the (smaller) orders side
+          // beats sorting both (partition-local build, AQE-skew-safe)
+          .join(ord.select(col("o_orderkey"), col("o_custkey"))
+            .hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+          .join(custA, col("o_custkey") === col("c_custkey"))
           .groupBy(col("n_name"))
-          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
-            .as("revenue"))
+          .agg(sum(col("rev")).cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("n_name"))
       },
       Some(s"""SELECT n_name,
@@ -268,17 +304,22 @@ object Relational extends QueryModule {
     // ─── q12: CASE WHEN buckets + conditional agg (TPC-H Q12 shape) ───
     "q12_case_when" -> Q(
       (s, dir) => {
+        // The priority string never needs to shuffle: fold it to a
+        // 0/1 flag before the join, and hash the orders side instead
+        // of sorting both (nothing downstream reuses a sort order).
         val ord = t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L).as("is_high"))
         val li = t(s, dir, "lineitem")
           .filter(col("l_shipdate") >= lit("1996-01-01") &&
             col("l_shipdate") < lit("1997-01-01"))
-        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_linestatus"))
+        li.join(ord.hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("l_linestatus"))
-          .agg(
-            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
-              .otherwise(0L)).as("high_line_count"),
-            sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
-              .otherwise(0L)).as("low_line_count"))
+          .agg(sum(col("is_high")).as("high_line_count"),
+            sum(lit(1L) - col("is_high")).as("low_line_count"))
           .orderBy(col("l_linestatus"))
       },
       Some("""SELECT l_linestatus,
@@ -297,9 +338,16 @@ object Relational extends QueryModule {
       (s, dir) => {
         val cust = t(s, dir, "customer")
         val ord = t(s, dir, "orders")
-        cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
-          .groupBy(col("c_custkey"))
-          .agg(count(col("o_orderkey")).as("c_count"))
+        // Count orders per custkey BEFORE the outer join: the count
+        // per customer is computable from orders alone (o_orderkey is
+        // never null), so the shuffle carries one partially-combined
+        // row per customer instead of every order, and the outer join
+        // shrinks from customer x orders to customer x distinct-custkeys.
+        // Customers with no orders surface via the left join + coalesce(0).
+        val perCust = ord.groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"))
+        cust.join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+          .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
           .groupBy(col("c_count"))
           .agg(count(lit(1)).as("custdist"))
           .orderBy(col("custdist").desc, col("c_count").desc)
