@@ -18,6 +18,7 @@ object SparkEntry {
     graft.queries.Relational4,
     graft.queries.LlmText,
     graft.queries.LlmSim,
+    graft.queries.LlmCluster,
     graft.queries.Multimodal,
     graft.queries.Engine,
     graft.streaming.StreamOps

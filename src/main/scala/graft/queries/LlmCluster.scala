@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dup-cluster assignment and PII scrubbing for the LLM-training-data
+  * pipeline (beyond the reference's own surface; the reference's query
+  * engine could express neither — DuckDB has no iterative operator and
+  * its adapter role never needed one; cf. /root/reference/README.md
+  * scope).
+  *
+  * d6 turns pairwise duplicate SIGNALS into disjoint CLUSTERS — the
+  * step a real dedup pipeline needs between candidate generation
+  * (d1/d2/d4/d5b produce pairs) and canonical-document election: near-
+  * dup similarity is not transitive, but the keep-one-per-group
+  * decision must be, so pairs are closed into connected components.
+  */
+object LlmCluster extends QueryModule {
+  import Q.t
+
+  private def norm(c: org.apache.spark.sql.Column) =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+  private val normSql =
+    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+[0-9]{1,2} [0-9]{3}-[0-9]{4}"
+
+  /** Star edges (group-min → member) for one signature column: linear
+    * in group size where naive pair enumeration is quadratic, same
+    * connected components. One hash-shuffle on a 16-byte key.
+    */
+  private def starEdges(keyed: DataFrame, key: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+    keyed.select(min(col("doc_id")).over(w).as("src"),
+      col("doc_id").as("dst"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    // ─── d6: duplicate clusters via distributed connected components ───
+    // Edges: docs sharing a 40-char normalized prefix OR the same
+    // sorted distinct-word bag (two equivalence signals, neither
+    // refines the other, so components are genuinely transitive:
+    // A~B by prefix, B~C by bag ⇒ {A,B,C} one cluster). Components
+    // by iterative min-label propagation — Pregel-style, one
+    // hash-shuffle join + one combine-aggregated groupBy per round,
+    // O(component diameter) rounds (star edges keep diameters small).
+    // Each round persists its frontier and drops the previous one, so
+    // lineage and memory stay bounded; only the scalar changed-count
+    // reaches the driver. The DuckDB oracle computes the same closure
+    // with a recursive CTE.
+    "d6_dup_clusters" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), norm(col("text")).as("nrm"))
+        val keyed = docs.select(col("doc_id"),
+          md5(substring(col("nrm"), 1, 40)).as("pfx"),
+          md5(array_join(array_sort(array_distinct(split(col("nrm"), " "))),
+            " ")).as("bag"))
+        val edges = starEdges(keyed, "pfx").unionAll(starEdges(keyed, "bag"))
+          .filter(col("src") =!= col("dst")).distinct()
+        val sym = edges
+          .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+          .persist()
+        var comp = docs.select(col("doc_id").as("id"), col("doc_id").as("comp"))
+          .persist()
+        var iter = 0
+        var done = false
+        while (!done && iter < 30) {
+          val prop = sym.join(comp, col("src") === col("id"))
+            .select(col("dst").as("id"), col("comp"))
+          val next = comp.unionByName(prop)
+            .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+            .persist()
+          val changed = next
+            .join(comp.select(col("id"), col("comp").as("prev")), "id")
+            .filter(col("comp") =!= col("prev")).count()
+          comp.unpersist()
+          comp = next
+          done = changed == 0
+          iter += 1
+        }
+        sym.unpersist()
+        require(done, s"components did not converge within $iter rounds")
+        comp.groupBy(col("comp").as("cluster_id"))
+          .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc_id"))
+          .filter(col("n_docs") >= 2)
+          .orderBy(col("cluster_id"))
+      },
+      Some(s"""WITH RECURSIVE docs AS (
+          SELECT doc_id, $normSql AS nrm FROM documents),
+        keyed AS (
+          SELECT doc_id, md5(substr(nrm, 1, 40)) AS pfx,
+            md5(array_to_string(list_sort(list_distinct(
+              string_split(nrm, ' '))), ' ')) AS bag
+          FROM docs),
+        e1 AS (SELECT min(doc_id) OVER (PARTITION BY pfx) AS src,
+                 doc_id AS dst FROM keyed),
+        e2 AS (SELECT min(doc_id) OVER (PARTITION BY bag) AS src,
+                 doc_id AS dst FROM keyed),
+        edges AS (SELECT src, dst FROM e1 WHERE src <> dst
+                  UNION SELECT src, dst FROM e2 WHERE src <> dst),
+        sym AS (SELECT src, dst FROM edges
+                UNION SELECT dst, src FROM edges),
+        reach AS (
+          SELECT doc_id AS id, doc_id AS comp FROM docs
+          UNION
+          SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.id),
+        lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+        SELECT comp AS cluster_id, count(*) AS n_docs, max(id) AS max_doc_id
+        FROM lab GROUP BY comp HAVING count(*) >= 2
+        ORDER BY cluster_id""")),
+
+    // ─── t5: PII scrubbing (regex redaction) ───
+    // The corpus carries no natural PII, so deterministic synthetic
+    // PII (an email and a phone derived from doc_id) is appended
+    // before scrubbing — the redaction path is exercised for real and
+    // both engines agree byte-for-byte. One codegen'd projection; the
+    // patterns stay in the Java∩RE2 common dialect (character
+    // classes + bounded repetition, no lookaround).
+    "t5_pii_scrub" -> Q(
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"),
+              lit("@mail.example.com or +1 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+              .as("dirty"))
+          .select(col("doc_id"),
+            regexp_count(col("dirty"), lit(emailRe)).cast("long").as("n_emails"),
+            regexp_count(col("dirty"), lit(phoneRe)).cast("long").as("n_phones"),
+            regexp_replace(regexp_replace(col("dirty"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>").as("clean"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH dirty AS (
+          SELECT doc_id,
+            text || ' contact user' || cast(doc_id AS varchar)
+              || '@mail.example.com or +1 555-'
+              || lpad(cast(doc_id % 10000 AS varchar), 4, '0') AS dirty
+          FROM documents)
+        SELECT doc_id,
+          cast(len(regexp_extract_all(dirty,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS bigint)
+            AS n_emails,
+          cast(len(regexp_extract_all(dirty,
+            '\+[0-9]{1,2} [0-9]{3}-[0-9]{4}')) AS bigint) AS n_phones,
+          regexp_replace(regexp_replace(dirty,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\+[0-9]{1,2} [0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+        FROM dirty
+        ORDER BY doc_id"""))
+  )
+}

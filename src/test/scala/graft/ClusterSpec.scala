@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** d6 must close duplicate SIGNALS into transitive CLUSTERS: pairwise
+  * similarity is not transitive, the keep-one decision must be.
+  */
+class ClusterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("d6 merges a multi-hop prefix/bag chain into one cluster") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d6").toString
+    val pfx = "p " * 20 // 40-char shared opening
+    // 0~1 share the 40-char prefix; 1~2 share the word bag; 0 and 2
+    // share NO signal — only transitive closure puts them together.
+    // 3 has neither signal and must stay unclustered.
+    val docs = Seq(
+      (0L, pfx + "alpha beta"),
+      (1L, pfx + "gamma delta"),
+      (2L, "delta gamma " + pfx.trim),
+      (3L, "totally different text"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("d6_dup_clusters")(spark, dir).collect()
+    assert(rows.length == 1, s"expected one cluster, got ${rows.toSeq}")
+    assert(rows(0).getLong(0) == 0L && rows(0).getLong(1) == 3L &&
+      rows(0).getLong(2) == 2L,
+      s"expected cluster 0 with docs {0,1,2}, got ${rows(0)}")
+  }
+
+  test("t5 redacts every injected email and phone") {
+    val df = SparkEntry.queries("t5_pii_scrub")(spark, TestSpark.SF)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1, s"email not counted: $r")
+      assert(r.getLong(2) >= 1, s"phone not counted: $r")
+      val clean = r.getString(3)
+      assert(clean.contains("<EMAIL>") && clean.contains("<PHONE>"))
+      assert(!clean.contains("@mail.example.com") && !clean.contains("+1 555-"),
+        s"PII survived scrubbing: $clean")
+    }
+  }
+}
