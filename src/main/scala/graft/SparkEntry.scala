@@ -19,6 +19,7 @@ object SparkEntry {
     graft.queries.LlmText,
     graft.queries.LlmSim,
     graft.queries.LlmCluster,
+    graft.queries.LlmPipeline,
     graft.queries.Multimodal,
     graft.queries.Engine,
     graft.streaming.StreamOps

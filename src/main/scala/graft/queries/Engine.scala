@@ -106,15 +106,19 @@ object Engine extends QueryModule {
       (s, dir) => {
         val cat = new Catalog(s, scratch("compact"))
         // simulate a fragmented table (many small files), compact it,
-        // then re-materialize clustered by ship date
+        // then re-materialize clustered by ship date. The compaction
+        // target matches the write parallelism (32 = one file per
+        // core here; on a cluster, pick total-bytes/target-file-size):
+        // compacting 60M rows into 4 files would leave 7/8 of the
+        // cores idle through two full rewrites.
         cat.createTableAs("", "li_frag",
-          t(s, dir, "lineitem").repartition(64))
-        cat.compact("", "li_frag", 4)
+          t(s, dir, "lineitem").repartition(96))
+        cat.compact("", "li_frag", 32)
         assert(cat.fs.listStatus(cat.relationPath("", "li_frag"))
-          .count(_.getPath.getName.endsWith(".parquet")) == 4,
-          "compaction must leave 4 part files")
+          .count(_.getPath.getName.endsWith(".parquet")) == 32,
+          "compaction must leave 32 part files")
         cat.createTableClusteredBy("", "li_clustered",
-          cat.table("", "li_frag"), numFiles = 4,
+          cat.table("", "li_frag"), numFiles = 32,
           clusterCols = Seq("l_shipdate"))
         cat.table("", "li_clustered")
           .filter(col("l_shipdate") >= lit("1997-01-01") &&

@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for the LLM-training-data pipeline:
+  * sequence packing and stratified sampling (beyond the reference's
+  * adapter surface — the curation steps that follow dedup/quality
+  * filtering when a corpus is turned into training batches).
+  */
+object LlmPipeline extends QueryModule {
+  import Q.t
+
+  def queries: Map[String, Q] = Map(
+    // ─── t6: sequence packing (concatenate-and-chop) ───
+    // Pack documents into fixed 2048-token context windows per source
+    // shard: a doc belongs to the window its first token lands in
+    // (floor of the preceding cumulative length). Packing is per
+    // shard, as in real pipelines — the window is partitioned by
+    // `source`, so no global single-task sort exists; at 100 TB each
+    // shard packs independently and shards parallelize freely.
+    "t6_seq_pack" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("ntok"))
+          .select(col("source"), col("ntok"),
+            floor(coalesce(sum(col("ntok")).over(w), lit(0L)) / 2048.0)
+              .as("pack_id"))
+          .groupBy(col("source"), col("pack_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tok_sum"))
+          .orderBy(col("source"), col("pack_id"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, source,
+            len(string_split_regex(trim(text), '\s+')) AS ntok
+          FROM documents),
+        packed AS (
+          SELECT source, ntok,
+            cast(floor(cast(coalesce(sum(ntok) OVER (PARTITION BY source
+              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) as double) / 2048.0) as bigint) AS pack_id
+          FROM toks)
+        SELECT source, pack_id, count(*) AS n_docs,
+          cast(sum(ntok) as bigint) AS tok_sum
+        FROM packed GROUP BY source, pack_id
+        ORDER BY source, pack_id""")),
+
+    // ─── t7: stratified sampling (deterministic per-language fraction) ───
+    // Keep ceil(10%) of every language, chosen by md5-hash order — a
+    // portable, seedless shuffle both engines reproduce byte-for-byte
+    // (the training-data mixing step: fix per-stratum proportions
+    // regardless of corpus skew). The rank-within-stratum window is
+    // the correctness baseline; at 100 TB the same selection is a
+    // hash-threshold filter against per-stratum quantiles of md5
+    // (no per-stratum sort), which this operator's ORDER BY md5
+    // deliberately mirrors.
+    "t7_stratified_sample" -> Q(
+      (s, dir) => {
+        val byLang = Window.partitionBy(col("lang"))
+        val w = byLang.orderBy(md5(col("text")), col("doc_id"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            row_number().over(w).cast("long").as("rn"),
+            count(lit(1)).over(byLang).as("n"))
+          .filter(col("rn") <= ceil(col("n") * 0.1))
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some("""WITH ranked AS (
+          SELECT doc_id, lang,
+            row_number() OVER (PARTITION BY lang
+              ORDER BY md5(text), doc_id) AS rn,
+            count(*) OVER (PARTITION BY lang) AS n
+          FROM documents)
+        SELECT doc_id, lang FROM ranked
+        WHERE rn <= ceil(n * 0.1)
+        ORDER BY lang, doc_id"""))
+  )
+}
