@@ -161,6 +161,49 @@ object StreamOps extends QueryModule {
           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_end
         FROM sessions
         GROUP BY user_id, sess_id
-        ORDER BY user_id, sess_id"""))
+        ORDER BY user_id, sess_id""")),
+
+    // ─── streaming dedup: watermarked dropDuplicates (stream_dedup) ───
+    // The streaming counterpart of d1's exact dedup: documents arrive
+    // as a stream, the first occurrence of each content signature
+    // (sorted word bag of the normalized text) passes, later
+    // duplicates are dropped by keyed state. The watermark (on a
+    // synthetic event time, documents carry none) is what bounds that
+    // state at 100 TB — keys older than the horizon are evicted
+    // instead of accumulating forever. Which duplicate survives is
+    // arrival-order-dependent, so the gate compares the
+    // survivor-invariant: the distinct-signature count, replayed as
+    // batch SQL by the oracle.
+    "q59_stream_dedup" -> Q(
+      (s, dir) => {
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val docs = s.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+        val keyed = docs
+          .withColumn("nrm", lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+          .withColumn("bag_sig", md5(array_join(
+            array_sort(array_distinct(split(col("nrm"), " "))), " ")))
+          // +1: a doc at exactly epoch 0 would equal the initial
+          // watermark and be dropped as late before dedup ever sees it
+          .withColumn("ts", timestamp_micros((col("doc_id") + 1L) * 1000000L))
+          .withWatermark("ts", "1 hour")
+        val deduped = keyed.dropDuplicates("bag_sig")
+        val qname = "graft_q59_sink"
+        s.streams.active.filter(_.name == qname).foreach(_.stop())
+        val query = deduped.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(qname)
+          .start()
+        try query.processAllAvailable() finally query.stop()
+        s.table(qname).agg(count(lit(1)).as("n_unique"))
+      },
+      Some("""SELECT count(distinct md5(array_to_string(list_sort(
+            list_distinct(string_split(
+              lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))),
+            ' '))) AS n_unique
+        FROM documents"""))
   )
 }
