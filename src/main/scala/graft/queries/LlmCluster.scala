@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,16 +26,6 @@ object LlmCluster extends QueryModule {
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val phoneRe = "\\+[0-9]{1,2} [0-9]{3}-[0-9]{4}"
 
-  /** Star edges (group-min → member) for one signature column: linear
-    * in group size where naive pair enumeration is quadratic, same
-    * connected components. One hash-shuffle on a 16-byte key.
-    */
-  private def starEdges(keyed: DataFrame, key: String): DataFrame = {
-    val w = Window.partitionBy(col(key))
-    keyed.select(min(col("doc_id")).over(w).as("src"),
-      col("doc_id").as("dst"))
-  }
-
   def queries: Map[String, Q] = Map(
     // ─── d6: duplicate clusters via distributed connected components ───
     // Edges: docs sharing a 40-char normalized prefix OR the same
@@ -58,13 +47,26 @@ object LlmCluster extends QueryModule {
           md5(substring(col("nrm"), 1, 40)).as("pfx"),
           md5(array_join(array_sort(array_distinct(split(col("nrm"), " "))),
             " ")).as("bag"))
-        val edges = starEdges(keyed, "pfx").unionAll(starEdges(keyed, "bag"))
+        // Contraction: every doc is directly connected to its prefix
+        // group's min ("pfx root") and its bag group's min, so the
+        // component structure survives collapsing each group to its
+        // root. Propagation then runs on the ROOT graph — one node
+        // per signature group, invariant under duplication of the
+        // corpus — instead of on every document; docs map back with
+        // one join at the end. (A dup-heavy corpus is exactly where
+        // this matters: 100x-replicated docs add zero root nodes.)
+        val wp = Window.partitionBy(col("pfx"))
+        val wb = Window.partitionBy(col("bag"))
+        val rooted = keyed.select(col("doc_id"),
+          min(col("doc_id")).over(wp).as("pr"),
+          min(col("doc_id")).over(wb).as("br")).persist()
+        val redges = rooted.select(col("pr").as("src"), col("br").as("dst"))
           .filter(col("src") =!= col("dst")).distinct()
-        val sym = edges
-          .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+        val sym = redges
+          .unionAll(redges.select(col("dst").as("src"), col("src").as("dst")))
           .persist()
-        var comp = docs.select(col("doc_id").as("id"), col("doc_id").as("comp"))
-          .persist()
+        var comp = sym.select(col("src").as("id")).distinct()
+          .select(col("id"), col("id").as("comp")).persist()
         var iter = 0
         var done = false
         while (!done && iter < 30) {
@@ -83,8 +85,15 @@ object LlmCluster extends QueryModule {
         }
         sym.unpersist()
         require(done, s"components did not converge within $iter rounds")
-        comp.groupBy(col("comp").as("cluster_id"))
-          .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc_id"))
+        // cluster id = component min, which is always a root (the
+        // global min of a component is the min of its own pfx group);
+        // roots with no cross-signal edge fall back to min(pr, br)
+        rooted
+          .join(comp.withColumnRenamed("id", "pr"), Seq("pr"), "left")
+          .select(col("doc_id"),
+            coalesce(col("comp"), least(col("pr"), col("br"))).as("cluster_id"))
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc_id"))
           .filter(col("n_docs") >= 2)
           .orderBy(col("cluster_id"))
       },

@@ -188,6 +188,9 @@ object StreamOps extends QueryModule {
           // +1: a doc at exactly epoch 0 would equal the initial
           // watermark and be dropped as late before dedup ever sees it
           .withColumn("ts", timestamp_micros((col("doc_id") + 1L) * 1000000L))
+          // narrow BEFORE the stateful shuffle: dedup needs the
+          // signature and the event time, not the document body
+          .select(col("bag_sig"), col("ts"))
           .withWatermark("ts", "1 hour")
         val deduped = keyed.dropDuplicates("bag_sig")
         val qname = "graft_q59_sink"
