@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,6 +26,64 @@ object LlmCluster extends QueryModule {
 
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val phoneRe = "\\+[0-9]{1,2} [0-9]{3}-[0-9]{4}"
+
+  /** Connected components of a symmetric `(src, dst)` edge list;
+    * returns `(id, comp)` with `comp` = the component's min id.
+    *
+    * The input here is always a CONTRACTED graph (one node per
+    * signature group), so it is usually tiny no matter how large the
+    * corpus is — in that regime a collected union-find beats paying
+    * one distributed round-trip per graph-diameter hop. Graphs over
+    * `maxDriverEdges` fall back to Pregel-style min-label propagation:
+    * one hash-join + one combine-aggregated groupBy per round, the
+    * frontier persisted and the previous round dropped, only the
+    * scalar changed-count on the driver.
+    */
+  private[graft] def components(sym: DataFrame,
+      maxDriverEdges: Int = 2000000): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    // one evaluation decides the path: collect up to the guard + 1
+    val head = sym.select(col("src"), col("dst")).as[(Long, Long)]
+      .limit(maxDriverEdges + 1).collect()
+    if (head.length <= maxDriverEdges) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      for ((a, b) <- head) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min wins
+      }
+      head.iterator.flatMap { case (a, b) => Iterator(a, b) }.toSeq.distinct
+        .map(v => (v, find(v))).toDF("id", "comp")
+    } else {
+      var comp = sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("comp")).persist()
+      var iter = 0
+      var done = false
+      while (!done && iter < 30) {
+        val prop = sym.join(comp, col("src") === col("id"))
+          .select(col("dst").as("id"), col("comp"))
+        val next = comp.unionByName(prop)
+          .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+          .persist()
+        val changed = next
+          .join(comp.select(col("id"), col("comp").as("prev")), "id")
+          .filter(col("comp") =!= col("prev")).count()
+        comp.unpersist()
+        comp = next
+        done = changed == 0
+        iter += 1
+      }
+      require(done, s"components did not converge within $iter rounds")
+      comp
+    }
+  }
 
   def queries: Map[String, Q] = Map(
     // ─── d6: duplicate clusters via distributed connected components ───
@@ -64,31 +123,11 @@ object LlmCluster extends QueryModule {
           .filter(col("src") =!= col("dst")).distinct()
         val sym = redges
           .unionAll(redges.select(col("dst").as("src"), col("src").as("dst")))
-          .persist()
-        var comp = sym.select(col("src").as("id")).distinct()
-          .select(col("id"), col("id").as("comp")).persist()
-        var iter = 0
-        var done = false
-        while (!done && iter < 30) {
-          val prop = sym.join(comp, col("src") === col("id"))
-            .select(col("dst").as("id"), col("comp"))
-          val next = comp.unionByName(prop)
-            .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-            .persist()
-          val changed = next
-            .join(comp.select(col("id"), col("comp").as("prev")), "id")
-            .filter(col("comp") =!= col("prev")).count()
-          comp.unpersist()
-          comp = next
-          done = changed == 0
-          iter += 1
-        }
-        sym.unpersist()
-        require(done, s"components did not converge within $iter rounds")
+        val comp = components(sym)
         // cluster id = component min, which is always a root (the
         // global min of a component is the min of its own pfx group);
         // roots with no cross-signal edge fall back to min(pr, br)
-        rooted
+        val out = rooted
           .join(comp.withColumnRenamed("id", "pr"), Seq("pr"), "left")
           .select(col("doc_id"),
             coalesce(col("comp"), least(col("pr"), col("br"))).as("cluster_id"))
@@ -96,6 +135,10 @@ object LlmCluster extends QueryModule {
           .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc_id"))
           .filter(col("n_docs") >= 2)
           .orderBy(col("cluster_id"))
+        // rooted stays persisted: it is the operator's working set
+        // (24 bytes/doc), computed once for solve + output — dropping
+        // it would re-run the bag-signature pass on every execution
+        out
       },
       Some(s"""WITH RECURSIVE docs AS (
           SELECT doc_id, $normSql AS nrm FROM documents),
@@ -104,21 +147,29 @@ object LlmCluster extends QueryModule {
             md5(array_to_string(list_sort(list_distinct(
               string_split(nrm, ' '))), ' ')) AS bag
           FROM docs),
-        e1 AS (SELECT min(doc_id) OVER (PARTITION BY pfx) AS src,
-                 doc_id AS dst FROM keyed),
-        e2 AS (SELECT min(doc_id) OVER (PARTITION BY bag) AS src,
-                 doc_id AS dst FROM keyed),
-        edges AS (SELECT src, dst FROM e1 WHERE src <> dst
-                  UNION SELECT src, dst FROM e2 WHERE src <> dst),
-        sym AS (SELECT src, dst FROM edges
-                UNION SELECT dst, src FROM edges),
+        rooted AS (
+          SELECT doc_id,
+            min(doc_id) OVER (PARTITION BY pfx) AS pr,
+            min(doc_id) OVER (PARTITION BY bag) AS br
+          FROM keyed),
+        -- closure over the CONTRACTED root graph (one node per
+        -- signature group): the naive doc-level closure is quadratic
+        -- in duplication, the root graph is invariant under it
+        redges AS (SELECT DISTINCT pr AS src, br AS dst FROM rooted
+                   WHERE pr <> br),
+        sym AS (SELECT src, dst FROM redges
+                UNION SELECT dst, src FROM redges),
         reach AS (
-          SELECT doc_id AS id, doc_id AS comp FROM docs
+          SELECT DISTINCT src AS id, src AS comp FROM sym
           UNION
           SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.id),
-        lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
-        SELECT comp AS cluster_id, count(*) AS n_docs, max(id) AS max_doc_id
-        FROM lab GROUP BY comp HAVING count(*) >= 2
+        lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+        mapped AS (
+          SELECT r.doc_id,
+            coalesce(l.comp, least(r.pr, r.br)) AS cluster_id
+          FROM rooted r LEFT JOIN lab l ON l.id = r.pr)
+        SELECT cluster_id, count(*) AS n_docs, max(doc_id) AS max_doc_id
+        FROM mapped GROUP BY cluster_id HAVING count(*) >= 2
         ORDER BY cluster_id""")),
 
     // ─── t5: PII scrubbing (regex redaction) ───

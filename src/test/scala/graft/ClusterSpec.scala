@@ -29,6 +29,20 @@ class ClusterSpec extends AnyFunSuite {
       s"expected cluster 0 with docs {0,1,2}, got ${rows(0)}")
   }
 
+  test("components: union-find and distributed propagation agree on a chain") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus isolated pair 10-11: components {1..5}, {10,11}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val sym = (edges ++ edges.map(_.swap)).toDF("src", "dst")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L)
+    for (threshold <- Seq(0 /* force distributed */, 1000 /* driver */)) {
+      val got = graft.queries.LlmCluster.components(sym, threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"threshold=$threshold")
+    }
+  }
+
   test("t5 redacts every injected email and phone") {
     val df = SparkEntry.queries("t5_pii_scrub")(spark, TestSpark.SF)
     val rows = df.collect()
