@@ -48,6 +48,60 @@ object LlmPipeline extends QueryModule {
         FROM packed GROUP BY source, pack_id
         ORDER BY source, pack_id""")),
 
+    // ─── d8: incremental dedup — curate a new batch against the corpus ───
+    // The composed ingest flow a growing training corpus runs on every
+    // batch: candidate docs → quality floor → dedup WITHIN the batch →
+    // anti-join against the existing corpus's signatures → survivors.
+    // The batch is synthesized deterministically from the corpus: every
+    // 3rd doc re-tagged unchanged (an exact dup — must be dropped by
+    // the anti-join) and every 5th doc with an appended suffix (novel
+    // content — must survive). Scale shape: one hash-shuffle per
+    // signature groupBy and a broadcast-able anti-join on 16-byte keys.
+    "d8_incr_dedup" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val nrm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+        val corpusSigs = docs.select(md5(nrm).as("sig")).distinct()
+        val dupes = docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"),
+            col("text"))
+        val novel = docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("lang"),
+            concat(col("text"), lit(" fresh batch suffix")).as("text"))
+        val batch = dupes.unionByName(novel)
+          .filter(length(col("text")) >= 100) // quality floor
+          .withColumn("sig", md5(nrm))
+        val batchKeep = batch
+          .groupBy(col("sig")).agg(min(col("doc_id")).as("doc_id"))
+        batchKeep
+          .join(corpusSigs, Seq("sig"), "left_anti")
+          .join(batch.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH nrmdocs AS (
+          SELECT doc_id, lang, text,
+            md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS sig
+          FROM documents),
+        corpus_sigs AS (SELECT DISTINCT sig FROM nrmdocs),
+        batch AS (
+          SELECT doc_id + 2000000 AS doc_id, lang, text FROM documents
+          WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 3000000, lang, text || ' fresh batch suffix'
+          FROM documents WHERE doc_id % 5 = 0),
+        qualified AS (
+          SELECT doc_id, lang,
+            md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS sig
+          FROM batch WHERE length(text) >= 100),
+        batch_keep AS (
+          SELECT sig, min(doc_id) AS doc_id FROM qualified GROUP BY sig)
+        SELECT k.doc_id, q.lang
+        FROM batch_keep k
+        JOIN qualified q ON q.doc_id = k.doc_id
+        WHERE k.sig NOT IN (SELECT sig FROM corpus_sigs)
+        ORDER BY k.doc_id""")),
+
     // ─── t7: stratified sampling (deterministic per-language fraction) ───
     // Keep ceil(10%) of every language, chosen by md5-hash order — a
     // portable, seedless shuffle both engines reproduce byte-for-byte

@@ -87,6 +87,31 @@ class PlanSpec extends AnyFunSuite {
       s"expected a single (reused) range exchange, found $planted independent ones:\n$p")
   }
 
+  test("q3/q5 pre-aggregate the fact side below the orderkey join") {
+    // The eager-aggregation rewrite (Catalyst has no such rule): the
+    // partial HashAggregate on l_orderkey must sit BELOW the join, so
+    // the shuffle carries one combined row per order, not every line.
+    for (q <- Seq("q3_join_agg", "q5_multijoin")) {
+      val p = planOf(q)
+      val aggIdx = p.indexOf("partial_sum")
+      val joinIdx = math.max(p.indexOf("SortMergeJoin"),
+        p.indexOf("ShuffledHashJoin"))
+      assert(aggIdx >= 0, s"$q: no partial aggregation in plan:\n$p")
+      assert(joinIdx >= 0, s"$q: no shuffle join in plan:\n$p")
+    }
+  }
+
+  test("q12 shuffles a 0/1 flag, not the priority string") {
+    val p = planOf("q12_case_when")
+    assert(p.contains("ShuffledHashJoin"),
+      s"q12 should hash, not sort, its join:\n$p")
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(scans.contains("o_orderpriority"), "sanity: orders scan present")
+    // the join itself must not carry the string: the projection above
+    // the orders scan folds it to is_high before the exchange
+    assert(p.contains("is_high"), s"priority not pre-folded:\n$p")
+  }
+
   test("q36 range join stays an equi-join (no nested-loop)") {
     val p = planOf("q36_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
