@@ -479,30 +479,50 @@ object LlmSim extends QueryModule {
         val e = t(s, dir, "embeddings")
         val BANDS = 8
         val PLANES = 4
+        // exact-then-near (the d5b/d2 ordering): byte-identical corpus
+        // vectors collapse to their min-id representative before any
+        // bucket work — k exact copies would otherwise multiply every
+        // probed bucket and every scored pair by k. Each distinct
+        // vector is hashed and scored ONCE; the top vectors expand
+        // back to member ids for the final id-ranked cut. Identity on
+        // a dup-free corpus.
+        val cand0 = e.filter(col("vec_id") >= 10)
+        val reps = cand0.groupBy(col("embedding"))
+          .agg(min(col("vec_id")).as("rep_id"))
         // all 8 4-bit buckets in one codegen'd kernel (FloatVecSignBuckets)
-        val sigs = e.select(col("vec_id"), col("embedding"),
+        val candSigs = reps.select(col("rep_id"), col("embedding").as("cv"),
           posexplode(graft.functions.FloatVecSignBuckets.buckets(
             col("embedding"), hyperplanes, BANDS, PLANES))
             .as(Seq("band", "bucket")))
         val probeFlips = 0L +: (0 until PLANES).map(p => 1L << p)
-        val queries = sigs.filter(col("vec_id") < 10)
+        val queries = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-            col("band"),
+            posexplode(graft.functions.FloatVecSignBuckets.buckets(
+              col("embedding"), hyperplanes, BANDS, PLANES))
+              .as(Seq("band", "bucket0")))
+          .select(col("query_id"), col("qv"), col("band"),
             explode(array(probeFlips.map(f =>
-              col("bucket").bitwiseXOR(lit(f))): _*)).as("bucket"))
-        val cands = sigs.filter(col("vec_id") >= 10)
-          .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
-            col("band"), col("bucket"))
-        val matched = queries.join(cands, Seq("band", "bucket"))
-          .select(col("query_id"), col("cand_id"), col("qv"), col("cv"))
+              col("bucket0").bitwiseXOR(lit(f))): _*)).as("bucket"))
+        val matched = queries.join(candSigs, Seq("band", "bucket"))
+          .select(col("query_id"), col("rep_id"), col("qv"), col("cv"))
           .distinct()
-        val scored = matched.select(col("query_id"), col("cand_id"),
+        val scored = matched.select(col("query_id"), col("rep_id"), col("cv"),
           round(dotDec(col("qv"), col("cv")) /
             (sqrt(dotDec(col("qv"), col("qv"))) *
               sqrt(dotDec(col("cv"), col("cv")))), 12).as("cosine"))
+        // rank() (not row_number) cuts the REP list: cosine ties keep
+        // every tied vector, so the expansion below is a superset of
+        // the exact top-5 ids and the final cut stays exact
+        val wr = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc)
+        val topReps = scored.withColumn("rk", rank().over(wr))
+          .filter(col("rk") <= 5)
+        val members = cand0.select(col("embedding").as("cv"),
+          col("vec_id").as("cand_id"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("cand_id"))
-        scored.withColumn("rank", row_number().over(w))
+        topReps.join(members, Seq("cv"))
+          .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
           .select(col("query_id"), col("cand_id"), col("cosine"),
             col("rank").cast("long").as("rank"))
@@ -525,8 +545,13 @@ object LlmSim extends QueryModule {
       (s, dir) => {
         import s.implicits._
         val e = t(s, dir, "embeddings")
+        // train on an ABSOLUTELY bounded sample (the first 5000 vec
+        // ids — a no-op below sf1, the whole point above it): quantizer
+        // quality needs a representative sample, not the corpus, and
+        // the training cost must not scale with the data
         val centroids = trainCentroids(s,
-          e.select(col("vec_id"), col("embedding")), k = 16, iters = 3)
+          e.filter(col("vec_id") < 5000)
+            .select(col("vec_id"), col("embedding")), k = 16, iters = 3)
           .toDF("cent_id", "cent_v")
         def assign(df: DataFrame, vec: Column, nprobe: Int,
             idCol: String): DataFrame = {
@@ -538,23 +563,38 @@ object LlmSim extends QueryModule {
             .filter(col("cent_rank") <= nprobe)
             .drop("cent_v", "cent_dot", "cent_rank")
         }
+        // exact-then-near (same collapse as s2/d5b): byte-identical
+        // corpus vectors fill inverted lists ONCE via their min-id
+        // representative; the top vectors expand back to member ids
+        // for the final id-ranked cut. Identity on a dup-free corpus.
+        val cand0 = e.filter(col("vec_id") >= 10)
+        val reps = cand0.groupBy(col("embedding"))
+          .agg(min(col("vec_id")).as("rep_id"))
         val cands = assign(
-          e.filter(col("vec_id") >= 10)
-            .select(col("vec_id").as("cand_id"), col("embedding").as("cv")),
-          col("cv"), nprobe = 2, idCol = "cand_id")
+          reps.select(col("rep_id"), col("embedding").as("cv")),
+          col("cv"), nprobe = 2, idCol = "rep_id")
         val queries = assign(
           e.filter(col("vec_id") < 10)
             .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
           col("qv"), nprobe = 3, idCol = "query_id")
         val scored = queries.join(cands, Seq("cent_id"))
-          .select(col("query_id"), col("cand_id"),
+          .select(col("query_id"), col("rep_id"), col("cv"),
             round(dotDec(col("qv"), col("cv")) /
               (sqrt(dotDec(col("qv"), col("qv"))) *
                 sqrt(dotDec(col("cv"), col("cv")))), 12).as("cosine"))
           .distinct()
+        // rank() keeps cosine ties, so the member expansion is a
+        // superset of the exact top-5 ids and the final cut is exact
+        val wr = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc)
+        val topReps = scored.withColumn("rk", rank().over(wr))
+          .filter(col("rk") <= 5)
+        val members = cand0.select(col("embedding").as("cv"),
+          col("vec_id").as("cand_id"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("cand_id"))
-        scored.withColumn("rank", row_number().over(w))
+        topReps.join(members, Seq("cv"))
+          .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
           .select(col("query_id"), col("cand_id"), col("cosine"),
             col("rank").cast("long").as("rank"))
