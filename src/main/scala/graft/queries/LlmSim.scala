@@ -277,7 +277,17 @@ object LlmSim extends QueryModule {
     // sorted-neighborhood candidate generation below.
     "d4_dedup_simhash" -> Q(
       (s, dir) => {
-        val sim = simhash64(t(s, dir, "documents"))
+        // exact-then-near: byte-identical texts collapse to their
+        // min-id representative BEFORE the (word-hash-heavy) simhash
+        // pass — exact pairs are d1's O(n) job, and every reported
+        // pair here is genuinely near-but-not-exact. Identity on a
+        // dup-free corpus.
+        val reps = t(s, dir, "documents")
+          .groupBy(md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+            .as("fp"))
+          .agg(min(col("doc_id")).as("doc_id"),
+            min_by(col("text"), col("doc_id")).as("text"))
+        val sim = simhash64(reps)
           .select(col("doc_id"), col("simhash"))
         val chunks = sim.select(col("doc_id"), col("simhash"),
           explode(array((0 until 4).map { c =>
