@@ -24,6 +24,12 @@ object Multimodal extends QueryModule {
   final case class MediaFeat(doc_id: Long, n_bytes: Long, width: Long,
       height: Long, first_byte: Long, last_byte: Long)
 
+  /** One sampled (and stub-"resized") frame of a payload. */
+  final case class Frame(doc_id: Long, frame_idx: Long, f_bytes: Long,
+      checksum: Long, ds_checksum: Long)
+
+  private val FrameBytes = 32
+
   /** STUB decode: a real deployment would decode `payload` with an
     * image/audio codec here. This stands in with deterministic
     * byte-level features so the pipeline shape is fully testable.
@@ -63,6 +69,57 @@ object Multimodal extends QueryModule {
           ascii(substr(text, 1, 1)) AS first_byte,
           ascii(substr(text, length(text), 1)) AS last_byte
         FROM documents
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ─── m2: frame sampling + resize plumbing over binary payloads ───
+    // The video-shaped half of the multimodal story: a payload is a
+    // sequence of fixed-size frames; sample every 4th full frame and
+    // "resize" it (stub: keep every 2nd byte — a real deployment
+    // decodes and scales pixels here). One typed flatMap, narrow (no
+    // shuffle), emitting a fixed-width row per sampled frame — the
+    // exact shape a frame-extraction stage has at 100 TB. Byte
+    // arithmetic over the ASCII payload keeps even the stub fully
+    // oracled.
+    "m2_frame_sample" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents")
+          .select(col("doc_id"),
+            col("text").cast("binary").as("payload"),
+            lit("utf8-text").as("format"))
+          .as[MediaIn]
+        media.flatMap { m =>
+          val p = m.payload
+          val nFrames = p.length / FrameBytes
+          Iterator.range(0, nFrames).filter(_ % 4 == 0).map { k =>
+            val off = k * FrameBytes
+            var sum = 0L
+            var ds = 0L
+            var i = 0
+            while (i < FrameBytes) {
+              val b = (p(off + i) & 0xFF).toLong
+              sum += b
+              if (i % 2 == 0) ds += b
+              i += 1
+            }
+            Frame(m.doc_id, k.toLong, FrameBytes.toLong, sum, ds)
+          }
+        }.toDF()
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some("""WITH frames AS (
+          SELECT doc_id, k AS frame_idx, substr(text, k * 32 + 1, 32) AS f
+          FROM documents,
+            unnest(generate_series(0,
+              cast(floor(length(text) / 32) as bigint) - 1)) AS t(k)
+          WHERE k % 4 = 0)
+        SELECT doc_id, frame_idx, cast(32 as bigint) AS f_bytes,
+          cast(list_sum(list_transform(generate_series(1, 32),
+            i -> ascii(substr(f, i, 1)))) as bigint) AS checksum,
+          cast(list_sum(list_transform(generate_series(1, 32),
+            i -> CASE WHEN (i - 1) % 2 = 0 THEN ascii(substr(f, i, 1))
+                      ELSE 0 END)) as bigint) AS ds_checksum
+        FROM frames
+        ORDER BY doc_id, frame_idx"""))
   )
 }
