@@ -73,9 +73,13 @@ object Bench {
     val qs = names.map(n =>
         "\"" + n + "\":" + med.get(n).map(_.toString).getOrElse("null"))
       .mkString("{", ",", "}")
-    val total = med.values.sum
+    // When anything failed the headline total is NOT comparable with
+    // other rounds (the sum silently shrank), so report it as null and
+    // expose the partial sum separately as total_ok + n_failed.
+    val totalOk = med.values.sum
+    val total = if (failed.isEmpty) totalOk.toString else "null"
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"spread":$spread,"failed":$failedJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"spread":$spread,"total_ok":$totalOk,"n_failed":${failed.size},"failed":$failedJson}""")
     spark.stop()
   }
 }

@@ -215,11 +215,54 @@ final class Catalog(val spark: SparkSession, val database: String) {
     if (!listRelations(schema).contains(tableName))
       createTableAs(schema, tableName, df)
     else {
-      val keys = df.select(uniqueKey.map(col): _*).distinct()
-      val kept = table(schema, tableName).join(keys, uniqueKey, "left_anti")
-      createTableAs(schema, tableName, kept.unionByName(df))
+      // Schema evolution (reference: impl.py expand_column_types /
+      // expand_target_column_types, the adapter API every dbt
+      // incremental run calls): widen columns the two sides share to
+      // their tightest common type (int→long, float→double, …) and let
+      // either side carry columns the other lacks — the missing side
+      // backfills NULL via unionByName(allowMissingColumns). Increment
+      // columns the target never saw are appended after the existing
+      // ones, so long-lived consumers keep their ordinals.
+      val existing = table(schema, tableName)
+      val (tgt, inc) = widenTo(existing, df)
+      val keys = inc.select(uniqueKey.map(col): _*).distinct()
+      val kept = tgt.join(keys, uniqueKey, "left_anti")
+      createTableAs(schema, tableName,
+        kept.unionByName(inc, allowMissingColumns = true))
     }
   }
+
+  /** Cast the columns `a` and `b` share to their tightest common type
+    * (Catalyst's own promotion lattice — exactly what a UNION would
+    * infer), leaving each side's private columns untouched. Fails
+    * loudly on genuinely incompatible drift (e.g. string vs array).
+    */
+  private def widenTo(a: DataFrame, b: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCoercion
+    val bTypes = b.schema.fields.map(f => f.name -> f.dataType).toMap
+    val widened = a.schema.fields.flatMap { f =>
+      bTypes.get(f.name).filter(_ != f.dataType).map { bt =>
+        val t = TypeCoercion.findTightestCommonType(f.dataType, bt)
+          .getOrElse(throw new IllegalArgumentException(
+            s"incremental schema drift on '${f.name}' is not widenable: " +
+              s"${f.dataType.sql} vs ${bt.sql}"))
+        f.name -> t
+      }
+    }.toMap
+    def cast(d: DataFrame) = widened.foldLeft(d) { case (acc, (name, t)) =>
+      acc.withColumn(name, col(name).cast(t))
+    }
+    (cast(a), cast(b))
+  }
+
+  /** Drop every row, keep the schema and the registration — the
+    * reference's truncate_relation (impl.py:70-73 rewrites the file
+    * with zero rows). repartition(1) pins one (empty) write task so
+    * the relation always has a readable part file with the schema.
+    */
+  def truncateRelation(schema: String, tableName: String): Unit =
+    createTableAs(schema, tableName,
+      table(schema, tableName).limit(0).repartition(1), singleFile = true)
 
   /** dbt-style snapshot (SCD-2, `check` strategy) — the reference
     * adapter skips snapshots for parquet entirely; here they are one

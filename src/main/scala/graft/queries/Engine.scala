@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -21,12 +19,6 @@ object Engine extends QueryModule {
 
   private def dsumSql(expr: String, scale: Int = 2): String =
     s"cast(sum(cast($expr as decimal(18,$scale))) as double)"
-
-  private def scratch(name: String): String = {
-    val p = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_db_$name")
-    Files.createDirectories(p)
-    p.toString
-  }
 
   def queries: Map[String, Q] = Map(
     // ─── C2/C3/C4/C10/C11: catalog discovery + column introspection ───
@@ -48,7 +40,7 @@ object Engine extends QueryModule {
     // ─── C5-C8: schema + relation lifecycle (CTAS → rename → drop) ───
     "c_lifecycle" -> Q(
       (s, dir) => {
-        val cat = new Catalog(s, scratch("lifecycle"))
+        val cat = new Catalog(s, Q.scratch(s, "lifecycle"))
         val src = t(s, dir, "orders")
           .filter(col("o_totalprice") > 200000)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -69,7 +61,7 @@ object Engine extends QueryModule {
     // ─── C8 (single-file mode): byte-compatible one-file-per-table CTAS ───
     "c_single_file" -> Q(
       (s, dir) => {
-        val cat = new Catalog(s, scratch("single"))
+        val cat = new Catalog(s, Q.scratch(s, "single"))
         cat.createTableAs("", "nation_sf",
           t(s, dir, "nation").repartition(4), singleFile = true)
         val p = cat.relationPath("", "nation_sf")
@@ -85,7 +77,7 @@ object Engine extends QueryModule {
     // ─── src/snk: CSV write + schema'd read roundtrip ───
     "c_csv_roundtrip" -> Q(
       (s, dir) => {
-        val out = scratch("csv") + "/part_csv"
+        val out = Q.scratch(s, "csv") + "/part_csv"
         t(s, dir, "part").write.mode("overwrite")
           .option("header", "true").csv(out)
         s.read.option("header", "true").option("inferSchema", "true").csv(out)
@@ -104,7 +96,7 @@ object Engine extends QueryModule {
     // ─── maintenance: small-file compaction + range-clustered write ───
     "c_compact_cluster" -> Q(
       (s, dir) => {
-        val cat = new Catalog(s, scratch("compact"))
+        val cat = new Catalog(s, Q.scratch(s, "compact"))
         // simulate a fragmented table (many small files), compact it,
         // then re-materialize clustered by ship date. The compaction
         // target matches the write parallelism (32 = one file per
@@ -136,7 +128,7 @@ object Engine extends QueryModule {
     "c_dag_model" -> Q(
       (s, dir) => {
         val srcCat = new Catalog(s, dir)
-        val target = new Catalog(s, scratch("dag"))
+        val target = new Catalog(s, Q.scratch(s, "dag"))
         val runner = new ModelRunner(target,
           (schema, table) => srcCat.table(schema, table))
         val models = Seq(
@@ -173,7 +165,7 @@ object Engine extends QueryModule {
     // expresses exactly that merge outcome over the raw table.
     "c_incremental" -> Q(
       (s, dir) => {
-        val cat = new Catalog(s, scratch("incr"))
+        val cat = new Catalog(s, Q.scratch(s, "incr"))
         cat.dropRelation("", "orders_inc") // deterministic across reruns
         val ord = t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
@@ -192,6 +184,37 @@ object Engine extends QueryModule {
         FROM orders
         ORDER BY o_orderkey""")),
 
+    // ─── C20b: incremental with SCHEMA DRIFT (evolve on merge) ───
+    // The single most common incremental event at scale: an increment
+    // that ADDS a column (o_orderpriority) and WIDENS one (o_custkey
+    // was written int, arrives bigint). Old rows must backfill NULL
+    // for the new column, the widened column must promote to the
+    // common type — reference impl.py:105-113 expand_column_types.
+    "c_incr_evolve" -> Q(
+      (s, dir) => {
+        val cat = new Catalog(s, Q.scratch(s, "evolve"))
+        cat.dropRelation("", "orders_ev") // deterministic across reruns
+        val ord = t(s, dir, "orders")
+        val base = ord.filter(col("o_orderdate") < lit("1997-01-01"))
+          .select(col("o_orderkey"),
+            col("o_custkey").cast("int").as("o_custkey"),
+            col("o_totalprice"))
+        val incr = ord.filter(col("o_orderdate") >= lit("1996-07-01"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"),
+            col("o_orderpriority"))
+        cat.createTableIncremental("", "orders_ev", base, Seq("o_orderkey"))
+        cat.createTableIncremental("", "orders_ev", incr, Seq("o_orderkey"))
+        cat.table("", "orders_ev").orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, cast(o_custkey as bigint) AS o_custkey,
+          CASE WHEN o_orderdate >= timestamp '1996-07-01'
+               THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+          CASE WHEN o_orderdate >= timestamp '1996-07-01'
+               THEN o_orderpriority END AS o_orderpriority
+        FROM orders
+        ORDER BY o_orderkey""")),
+
     // ─── C21: partition-granular incremental (dynamic overwrite) ───
     // Full load partitioned by order year, then a re-load of JUST the
     // 1997 partition with doubled prices; other partitions must be
@@ -199,7 +222,7 @@ object Engine extends QueryModule {
     // daily batch replaces its own partitions of a 100 TB fact.
     "c_incr_partition" -> Q(
       (s, dir) => {
-        val cat = new Catalog(s, scratch("incrp"))
+        val cat = new Catalog(s, Q.scratch(s, "incrp"))
         val ord = t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_totalprice"),
             year(col("o_orderdate")).as("yr"))
@@ -228,7 +251,7 @@ object Engine extends QueryModule {
     // oracle SQL constructs from the raw table.
     "c_snapshot" -> Q(
       (s, dir) => {
-        val cat = new Catalog(s, scratch("snap"))
+        val cat = new Catalog(s, Q.scratch(s, "snap"))
         cat.dropRelation("", "ord_snap") // deterministic across reruns
         val base = t(s, dir, "orders").filter(col("o_custkey") <= 200)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
@@ -260,15 +283,18 @@ object Engine extends QueryModule {
     // ─── C9: CSV seed → parquet ───
     "c_seed" -> Q(
       (s, dir) => {
-        val cat = new Catalog(s, scratch("seed"))
-        // deterministic seed CSV generated from the nation dim
+        val cat = new Catalog(s, Q.scratch(s, "seed"))
+        // deterministic seed CSV generated from the nation dim, written
+        // through the catalog's Hadoop FS (works on any scheme)
         val rows = t(s, dir, "nation")
           .orderBy(col("n_nationkey"))
           .collect()
           .map(r => s"${r.getInt(0)},${r.getString(1)},${r.getInt(2)}")
-        val csv = Paths.get(cat.database, "nation_seed.csv")
-        Files.writeString(csv,
-          ("n_nationkey,n_name,n_regionkey" +: rows.toSeq).mkString("\n"))
+        val csv = new org.apache.hadoop.fs.Path(cat.database, "nation_seed.csv")
+        val out = cat.fs.create(csv, true)
+        try out.write(("n_nationkey,n_name,n_regionkey" +: rows.toSeq)
+          .mkString("\n").getBytes("UTF-8"))
+        finally out.close()
         cat.seedCsv("", "nation_seed", csv.toString)
         cat.table("", "nation_seed").orderBy(col("n_nationkey"))
       },
@@ -354,7 +380,7 @@ object Engine extends QueryModule {
     // ─── snk_partitioned: partitioned parquet write + pruned read-back ───
     "c_partitioned_write" -> Q(
       (s, dir) => {
-        val out = scratch("part") + "/orders_by_year"
+        val out = Q.scratch(s, "part") + "/orders_by_year"
         t(s, dir, "orders")
           .withColumn("yr", year(col("o_orderdate")))
           .write.mode("overwrite").partitionBy("yr").parquet(out)

@@ -34,10 +34,18 @@ object LlmCluster extends QueryModule {
     * signature group), so it is usually tiny no matter how large the
     * corpus is — in that regime a collected union-find beats paying
     * one distributed round-trip per graph-diameter hop. Graphs over
-    * `maxDriverEdges` fall back to Pregel-style min-label propagation:
-    * one hash-join + one combine-aggregated groupBy per round, the
-    * frontier persisted and the previous round dropped, only the
-    * scalar changed-count on the driver.
+    * `maxDriverEdges` fall back to Pregel-style min-label propagation
+    * WITH pointer jumping: each round moves labels one edge hop (join
+    * + combine-aggregated groupBy) and one label-indirection hop
+    * (label(id) := min(label(id), label(label(id)))), so convergence
+    * is O(log diameter) rounds — a 64-round cap covers any graph with
+    * under 2^63 nodes, making the `require` a correctness backstop
+    * rather than a reachable limit (a plain one-hop loop needs
+    * O(diameter) rounds and a long signature chain could exceed any
+    * fixed cap). Every round is lineage-cut with an eager
+    * localCheckpoint (see the inline comment), which both prevents
+    * the self-join's exponential plan growth and lets the
+    * ContextCleaner reclaim old rounds — nothing stays pinned.
     */
   private[graft] def components(sym: DataFrame,
       maxDriverEdges: Int = 2000000): DataFrame = {
@@ -62,20 +70,43 @@ object LlmCluster extends QueryModule {
       head.iterator.flatMap { case (a, b) => Iterator(a, b) }.toSeq.distinct
         .map(v => (v, find(v))).toDF("id", "comp")
     } else {
+      // Each round is cut from its lineage with an eager
+      // localCheckpoint: the pointer-jump self-join references the
+      // round's frame twice, so an uncut logical plan doubles per
+      // round (exponential — it OOMs formatting the plan string long
+      // before the data is large), and checkpointing also replaces
+      // the persist/unpersist frontier dance — blocks are freed by
+      // the ContextCleaner when a round's frame is GC'd, so repeated
+      // invocations cannot accumulate pinned caches. (On a real
+      // cluster a reliable checkpoint dir trades the same cut for
+      // executor-loss tolerance.)
       var comp = sym.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("comp")).persist()
+        .select(col("id"), col("id").as("comp")).localCheckpoint()
       var iter = 0
       var done = false
-      while (!done && iter < 30) {
+      while (!done && iter < 64) {
         val prop = sym.join(comp, col("src") === col("id"))
           .select(col("dst").as("id"), col("comp"))
-        val next = comp.unionByName(prop)
+        // toDF on both sides mints fresh expression ids: prop derives
+        // from comp, and unioning a checkpointed frame with its own
+        // derivation trips Catalyst's union constraint rewrite
+        val hop = comp.toDF("id", "comp")
+          .unionByName(prop.toDF("id", "comp"))
           .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-          .persist()
+          .localCheckpoint()
+        // pointer jump: follow the label's own label (labels are node
+        // ids, so they resolve in the same frame); left join + coalesce
+        // keeps already-minimal labels (comp == id) intact
+        val next = hop.as("a")
+          .join(hop.select(col("id").as("jid"), col("comp").as("jcomp")),
+            col("a.comp") === col("jid"), "left")
+          .select(col("a.id").as("id"),
+            least(col("a.comp"), coalesce(col("jcomp"), col("a.comp")))
+              .as("comp"))
+          .localCheckpoint()
         val changed = next
           .join(comp.select(col("id"), col("comp").as("prev")), "id")
           .filter(col("comp") =!= col("prev")).count()
-        comp.unpersist()
         comp = next
         done = changed == 0
         iter += 1
@@ -116,9 +147,13 @@ object LlmCluster extends QueryModule {
         // this matters: 100x-replicated docs add zero root nodes.)
         val wp = Window.partitionBy(col("pfx"))
         val wb = Window.partitionBy(col("bag"))
-        val rooted = keyed.select(col("doc_id"),
+        // persisted for the solve + output double-read; registered in
+        // GateCache so the NEXT d6 invocation in this session releases
+        // this copy — repeated bench/driver runs hold one working set,
+        // not an ever-growing pile of dead cached RDDs
+        val rooted = GateCache.swap("d6.rooted", keyed.select(col("doc_id"),
           min(col("doc_id")).over(wp).as("pr"),
-          min(col("doc_id")).over(wb).as("br")).persist()
+          min(col("doc_id")).over(wb).as("br")).persist())
         val redges = rooted.select(col("pr").as("src"), col("br").as("dst"))
           .filter(col("src") =!= col("dst")).distinct()
         val sym = redges
@@ -135,9 +170,6 @@ object LlmCluster extends QueryModule {
           .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc_id"))
           .filter(col("n_docs") >= 2)
           .orderBy(col("cluster_id"))
-        // rooted stays persisted: it is the operator's working set
-        // (24 bytes/doc), computed once for solve + output — dropping
-        // it would re-run the bag-signature pass on every execution
         out
       },
       Some(s"""WITH RECURSIVE docs AS (

@@ -493,12 +493,19 @@ object LlmSim extends QueryModule {
         // vectors collapse to their min-id representative before any
         // bucket work — k exact copies would otherwise multiply every
         // probed bucket and every scored pair by k. Each distinct
-        // vector is hashed and scored ONCE; the top vectors expand
-        // back to member ids for the final id-ranked cut. Identity on
-        // a dup-free corpus.
+        // vector is hashed and scored ONCE. The SAME aggregation also
+        // carries the rep→member id mapping out (collect_list), so the
+        // final expansion back to member ids joins on the 8-byte
+        // rep_id — not on the 256-byte float array, which would hash
+        // and shuffle the full vector payload again for no information
+        // gain. Identity on a dup-free corpus.
         val cand0 = e.filter(col("vec_id") >= 10)
-        val reps = cand0.groupBy(col("embedding"))
-          .agg(min(col("vec_id")).as("rep_id"))
+        val grouped = cand0.groupBy(col("embedding"))
+          .agg(min(col("vec_id")).as("rep_id"),
+            collect_list(col("vec_id")).as("member_ids"))
+        val reps = grouped.select(col("embedding"), col("rep_id"))
+        val memberMap = grouped.select(col("rep_id"),
+          explode(col("member_ids")).as("cand_id"))
         // all 8 4-bit buckets in one codegen'd kernel (FloatVecSignBuckets)
         val candSigs = reps.select(col("rep_id"), col("embedding").as("cv"),
           posexplode(graft.functions.FloatVecSignBuckets.buckets(
@@ -516,7 +523,7 @@ object LlmSim extends QueryModule {
         val matched = queries.join(candSigs, Seq("band", "bucket"))
           .select(col("query_id"), col("rep_id"), col("qv"), col("cv"))
           .distinct()
-        val scored = matched.select(col("query_id"), col("rep_id"), col("cv"),
+        val scored = matched.select(col("query_id"), col("rep_id"),
           round(dotDec(col("qv"), col("cv")) /
             (sqrt(dotDec(col("qv"), col("qv"))) *
               sqrt(dotDec(col("cv"), col("cv")))), 12).as("cosine"))
@@ -527,11 +534,9 @@ object LlmSim extends QueryModule {
           .orderBy(col("cosine").desc)
         val topReps = scored.withColumn("rk", rank().over(wr))
           .filter(col("rk") <= 5)
-        val members = cand0.select(col("embedding").as("cv"),
-          col("vec_id").as("cand_id"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("cand_id"))
-        topReps.join(members, Seq("cv"))
+        topReps.join(memberMap, Seq("rep_id"))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
           .select(col("query_id"), col("cand_id"), col("cosine"),
@@ -575,20 +580,25 @@ object LlmSim extends QueryModule {
         }
         // exact-then-near (same collapse as s2/d5b): byte-identical
         // corpus vectors fill inverted lists ONCE via their min-id
-        // representative; the top vectors expand back to member ids
-        // for the final id-ranked cut. Identity on a dup-free corpus.
+        // representative; the collapse aggregation also carries the
+        // rep→member id mapping out (collect_list), so the final
+        // expansion joins on the 8-byte rep_id instead of re-hashing
+        // the 256-byte float array. Identity on a dup-free corpus.
         val cand0 = e.filter(col("vec_id") >= 10)
-        val reps = cand0.groupBy(col("embedding"))
-          .agg(min(col("vec_id")).as("rep_id"))
+        val grouped = cand0.groupBy(col("embedding"))
+          .agg(min(col("vec_id")).as("rep_id"),
+            collect_list(col("vec_id")).as("member_ids"))
+        val memberMap = grouped.select(col("rep_id"),
+          explode(col("member_ids")).as("cand_id"))
         val cands = assign(
-          reps.select(col("rep_id"), col("embedding").as("cv")),
+          grouped.select(col("rep_id"), col("embedding").as("cv")),
           col("cv"), nprobe = 2, idCol = "rep_id")
         val queries = assign(
           e.filter(col("vec_id") < 10)
             .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
           col("qv"), nprobe = 3, idCol = "query_id")
         val scored = queries.join(cands, Seq("cent_id"))
-          .select(col("query_id"), col("rep_id"), col("cv"),
+          .select(col("query_id"), col("rep_id"),
             round(dotDec(col("qv"), col("cv")) /
               (sqrt(dotDec(col("qv"), col("qv"))) *
                 sqrt(dotDec(col("cv"), col("cv")))), 12).as("cosine"))
@@ -599,11 +609,9 @@ object LlmSim extends QueryModule {
           .orderBy(col("cosine").desc)
         val topReps = scored.withColumn("rk", rank().over(wr))
           .filter(col("rk") <= 5)
-        val members = cand0.select(col("embedding").as("cv"),
-          col("vec_id").as("cand_id"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("cand_id"))
-        topReps.join(members, Seq("cv"))
+        topReps.join(memberMap, Seq("rep_id"))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
           .select(col("query_id"), col("cand_id"), col("cosine"),

@@ -289,18 +289,19 @@ object LlmText extends QueryModule {
     // ─── t4: document fingerprint (polynomial rolling hash) ───
     // Per-word md5-derived 32-bit values folded left with
     // acc = (acc * 31 + h) mod 1e9+7 — engine-agnostic, deterministic,
-    // and a single codegen'd projection per doc (no shuffle).
+    // and a single codegen'd projection per doc (no shuffle). The fold
+    // runs as the native RollingFingerprint expression: Spark's
+    // aggregate(transform(...)) evaluates interpreted per element and
+    // was the single most expensive projection in the suite (5.4 s at
+    // sf10); the compiled loop replaces it result-identically
+    // (RollingHashSpec asserts parity against the interpreted form).
     "t4_fingerprint" -> Q(
       (s, dir) => {
         t(s, dir, "documents")
           .withColumn("words", split(norm(col("text")), " "))
           .filter(size(col("words")) >= 2)
           .select(col("doc_id"),
-            aggregate(
-              transform(col("words"),
-                w => conv(substring(md5(w), 1, 8), 16, 10).cast("long")),
-              lit(0L),
-              (acc, x) => pmod(acc * 31 + x, lit(1000000007L)))
+            graft.functions.RollingFingerprint.of(col("words"))
               .as("fingerprint"),
             size(col("words")).cast("long").as("n_words"))
           .orderBy(col("doc_id"))

@@ -21,6 +21,23 @@ object Q {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scratch database root for engine gates, resolved through Hadoop's
+    * [[org.apache.hadoop.fs.FileSystem]] — the same abstraction
+    * [[graft.core.Catalog]] runs on — so the gates themselves stay
+    * object-store-honest: point GRAFT_SCRATCH_ROOT at any supported
+    * scheme (`file://`, `hdfs://`, `s3a://`) and every c_* gate
+    * materializes there instead of assuming a POSIX tmpdir.
+    */
+  def scratch(spark: SparkSession, name: String): String = {
+    import org.apache.hadoop.fs.Path
+    val root = sys.env.getOrElse("GRAFT_SCRATCH_ROOT",
+      "file:" + System.getProperty("java.io.tmpdir"))
+    val p = new Path(root, s"graft_db_$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p)
+    fs.makeQualified(p).toString
+  }
+
   /** Read the events table, normalizing its TIMESTAMP(NANOS) `ts`
     * column (which Spark's vectorized parquet reader rejects) to a
     * microsecond TimestampType column — the same truncation DuckDB
@@ -43,4 +60,27 @@ object Q {
 /** A module contributing queries to [[graft.SparkEntry]]. */
 trait QueryModule {
   def queries: Map[String, Q]
+}
+
+/** Per-session registry for the few persisted handles a gate must keep
+  * alive across its own build/first-action boundary (a lazily-returned
+  * DataFrame cannot unpersist its working set before the caller's
+  * action runs). Registering a handle under a stable key releases the
+  * PREVIOUS handle for that key, so a long-lived session (bench loops,
+  * repeated driver invocations) holds at most one cached copy per key
+  * instead of accumulating dead cached RDDs forever.
+  */
+object GateCache {
+  private val handles =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def swap(key: String, df: DataFrame): DataFrame = {
+    val k = df.sparkSession.hashCode() + ":" + key
+    val prev = handles.put(k, df)
+    if (prev != null && (prev ne df)) prev.unpersist(false)
+    df
+  }
+
+  /** Number of live registered handles (for specs). */
+  def size: Int = handles.size
 }

@@ -291,16 +291,24 @@ object Relational2 extends QueryModule {
         WHERE rev > seg_avg * 1.5
         ORDER BY c_custkey""")),
 
-    // ─── q29: per-group argmax via window ───
+    // ─── q29: per-group argmax via max_by, not a window ───
+    // A row_number window over 25 nation partitions sorts whole fat
+    // partitions on 25 tasks; max_by is one partial→final
+    // HashAggregate (each map task keeps 25 candidate rows), so the
+    // shuffle carries 25 rows per task no matter the corpus size. The
+    // struct ordering key (acctbal, -custkey) makes the argmax
+    // deterministic under ties: highest balance, then lowest custkey.
     "q29_groupwise_max" -> Q(
       (s, dir) => {
-        val joined = t(s, dir, "customer").join(broadcast(t(s, dir, "nation")),
-          col("c_nationkey") === col("n_nationkey"))
-        val w = Window.partitionBy(col("n_name"))
-          .orderBy(col("c_acctbal").desc, col("c_custkey"))
-        joined.withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
-          .select(col("n_name"), col("c_custkey"), col("c_acctbal"))
+        val best = t(s, dir, "customer")
+          .groupBy(col("c_nationkey"))
+          .agg(max_by(struct(col("c_custkey"), col("c_acctbal")),
+            struct(col("c_acctbal"), (-col("c_custkey")).as("neg")))
+            .as("top"))
+        best.join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("top.c_custkey").as("c_custkey"),
+            col("top.c_acctbal").as("c_acctbal"))
           .orderBy(col("n_name"))
       },
       Some("""SELECT n_name, c_custkey, c_acctbal FROM (

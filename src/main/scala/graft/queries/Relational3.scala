@@ -17,13 +17,6 @@ object Relational3 extends QueryModule {
   private def dsumSql(expr: String, scale: Int = 2): String =
     s"cast(sum(cast($expr as decimal(18,$scale))) as double)"
 
-  private def scratch(name: String): String = {
-    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_db_$name")
-    java.nio.file.Files.createDirectories(p)
-    p.toString
-  }
-
   def queries: Map[String, Q] = Map(
     // ─── q40: JSON extraction (semi-structured column) ───
     // parse_json → variant_get (Spark 4's binary variant encoding)
@@ -173,34 +166,52 @@ object Relational3 extends QueryModule {
         ORDER BY nationkey, rank""")),
 
     // ─── q47: salted join (skew mitigation pattern) ───
-    // l_returnflag has 3 hot values; the salt spreads each hot key
-    // over 8 shuffle partitions (probe side hashed, build side
-    // replicated ×8) — the standard fix when the hot side is too big
-    // to broadcast and AQE's skew split isn't enough. Results are
-    // salt-invariant, which is exactly what the oracle checks.
+    // Differential salting against a PER-ORDERKEY dim (orders: 15M
+    // rows at sf10 — genuinely non-broadcastable, unlike a 3-value
+    // flag dim). The fact's join key is made skewed (30% of rows
+    // collapse onto orderkey 0); salting only the known-hot key
+    // spreads its probe rows over 8 shuffle partitions while the
+    // build side replicates ONLY the hot key's dim row ×8 — cold keys
+    // pay salt=0 and join exactly as the plain shuffle join would.
+    // This is the production form: whole-dim ×SALTS replication (the
+    // round-4 version) multiplies build-side shuffle volume for no
+    // gain. The salt is a deterministic row hash, so the result is
+    // salt-invariant — exactly what the oracle's plain join checks.
     "q47_salted_join" -> Q(
       (s, dir) => {
         val SALTS = 8
-        val li = t(s, dir, "lineitem")
+        val hotKey = 0L
+        val fact = t(s, dir, "lineitem")
+          .select(
+            when((col("l_orderkey") % 100) < 30, lit(hotKey))
+              .otherwise(col("l_orderkey")).as("k"),
+            col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
           .withColumn("salt",
-            pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(SALTS)))
-        val dim = t(s, dir, "lineitem")
-          .select(col("l_returnflag").as("flag")).distinct()
-          .withColumn("flag_label", concat(lit("flag_"), col("flag")))
-          .withColumn("salt",
-            explode(sequence(lit(0L), lit(SALTS - 1L))))
-        li.join(dim,
-            col("l_returnflag") === col("flag") && li("salt") === dim("salt"))
-          .groupBy(col("flag_label"))
+            when(col("k") === hotKey,
+              pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+                lit(SALTS)))
+              .otherwise(lit(0L)))
+        val dim = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .withColumn("salt", explode(
+            when(col("o_orderkey") === hotKey,
+              sequence(lit(0L), lit(SALTS - 1L)))
+              .otherwise(array(lit(0L)))))
+        fact.join(dim,
+            col("k") === col("o_orderkey") && fact("salt") === dim("salt"))
+          .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n"),
             dsum(col("l_extendedprice")).as("total"))
-          .orderBy(col("flag_label"))
+          .orderBy(col("o_orderpriority"))
       },
-      Some(s"""SELECT 'flag_' || l_returnflag AS flag_label,
+      Some(s"""SELECT o_orderpriority,
           count(*) AS n, ${dsumSql("l_extendedprice")} AS total
-        FROM lineitem
-        GROUP BY flag_label
-        ORDER BY flag_label""")),
+        FROM (SELECT CASE WHEN l_orderkey % 100 < 30 THEN 0
+                          ELSE l_orderkey END AS k, l_extendedprice
+              FROM lineitem) f
+        JOIN orders ON o_orderkey = f.k
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
 
     // ─── bucketed tables: co-located join with no shuffle ───
     // Both sides are written bucketed+sorted on the join key, so the
@@ -210,7 +221,7 @@ object Relational3 extends QueryModule {
     // into a one-time write.
     "c_bucketed_join" -> Q(
       (s, dir) => {
-        val base = scratch("bucketed")
+        val base = Q.scratch(s, "bucketed")
         t(s, dir, "orders")
           .write.mode("overwrite")
           .bucketBy(8, "o_custkey").sortBy("o_custkey")
@@ -238,7 +249,7 @@ object Relational3 extends QueryModule {
     // ─── src/snk: ORC roundtrip ───
     "c_orc_roundtrip" -> Q(
       (s, dir) => {
-        val out = scratch("orc") + "/customer_orc"
+        val out = Q.scratch(s, "orc") + "/customer_orc"
         t(s, dir, "customer").write.mode("overwrite").orc(out)
         s.read.orc(out)
           .groupBy(col("c_mktsegment"))
@@ -254,7 +265,7 @@ object Relational3 extends QueryModule {
     // ─── src/snk: JSON-lines roundtrip ───
     "c_json_roundtrip" -> Q(
       (s, dir) => {
-        val out = scratch("json") + "/supplier_json"
+        val out = Q.scratch(s, "json") + "/supplier_json"
         t(s, dir, "supplier").write.mode("overwrite").json(out)
         val schema = StructType(Seq(
           StructField("s_suppkey", LongType),

@@ -257,6 +257,80 @@ object Relational4 extends QueryModule {
           row_number() OVER (ORDER BY nullif(o_orderstatus, 'P')
             ASC NULLS LAST, o_orderkey) AS rank_nulls_last
         FROM orders WHERE o_orderkey <= 100
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // ─── q60: adversarial inputs (nulls / empty / non-BMP unicode /
+    // malformed JSON / zero-length arrays) ───
+    // The generated corpus is clean ASCII, so the dialect edges where
+    // Spark and an ANSI engine can silently diverge never get
+    // exercised by the other gates. This one builds a deterministic
+    // nasty table FROM the nation dim (so the oracle can build the
+    // byte-identical table in SQL) and pushes it through the
+    // functions most likely to disagree: code-point length and upper
+    // on beyond-BMP text, regex word-split of empty strings, JSON
+    // extraction from malformed documents (Spark try_parse_json vs a
+    // json_valid guard), element access on empty/null arrays
+    // (try_element_at vs [] — both NULL, never an error), and md5
+    // over multibyte text (byte-level UTF-8 agreement).
+    "q60_adversarial" -> Q(
+      (s, dir) => {
+        val nasty = t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("id"))
+          .select(col("id"),
+            when(col("id") % 5 === 0, lit(null).cast("string"))
+              .when(col("id") % 5 === 1, lit(""))
+              .when(col("id") % 5 === 2, lit("😀🎉 ünïcödé 漢字 𝔘𝔫𝔦"))
+              .when(col("id") % 5 === 3,
+                concat(lit("tab\there\nand newline "), col("id")))
+              .otherwise(lit("plain ascii text")).as("txt"),
+            when(col("id") % 4 === 0, concat(lit("{\"k\":"), col("id"), lit("}")))
+              .when(col("id") % 4 === 1, lit("{not json"))
+              .when(col("id") % 4 === 2, lit(null).cast("string"))
+              .otherwise(lit("{\"k\":null}")).as("js"),
+            when(col("id") % 3 === 0, array().cast("array<bigint>"))
+              .when(col("id") % 3 === 1, lit(null).cast("array<bigint>"))
+              .otherwise(array(col("id"), col("id") * 2)).as("arr"))
+        nasty.select(col("id"),
+            length(col("txt")).cast("long").as("txt_len"),
+            upper(col("txt")).as("txt_up"),
+            size(split(trim(col("txt")), "\\s+")).cast("long").as("n_words"),
+            try_variant_get(try_parse_json(col("js")), "$.k", "long").as("k"),
+            size(col("arr")).cast("long").as("arr_n"),
+            try_element_at(col("arr"), lit(1)).as("first_el"),
+            md5(coalesce(col("txt"), lit("<null>"))).as("fp"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH nasty AS (
+          SELECT cast(n_nationkey as bigint) AS id,
+            CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                 WHEN n_nationkey % 5 = 1 THEN ''
+                 WHEN n_nationkey % 5 = 2
+                   THEN '😀🎉 ünïcödé 漢字 𝔘𝔫𝔦'
+                 WHEN n_nationkey % 5 = 3
+                   THEN 'tab' || chr(9) || 'here' || chr(10)
+                        || 'and newline ' || cast(n_nationkey as varchar)
+                 ELSE 'plain ascii text' END AS txt,
+            CASE WHEN n_nationkey % 4 = 0
+                   THEN '{"k":' || cast(n_nationkey as varchar) || '}'
+                 WHEN n_nationkey % 4 = 1 THEN '{not json'
+                 WHEN n_nationkey % 4 = 2 THEN NULL
+                 ELSE '{"k":null}' END AS js,
+            CASE WHEN n_nationkey % 3 = 0 THEN []
+                 WHEN n_nationkey % 3 = 1 THEN NULL
+                 ELSE [cast(n_nationkey as bigint),
+                       cast(n_nationkey as bigint) * 2] END AS arr
+          FROM nation)
+        SELECT id,
+          cast(length(txt) as bigint) AS txt_len,
+          upper(txt) AS txt_up,
+          cast(len(string_split_regex(trim(txt), '\s+')) as bigint)
+            AS n_words,
+          CASE WHEN json_valid(js)
+               THEN cast(json_extract_string(js, '$.k') as bigint) END AS k,
+          cast(len(arr) as bigint) AS arr_n,
+          arr[1] AS first_el,
+          md5(coalesce(txt, '<null>')) AS fp
+        FROM nasty
+        ORDER BY id"""))
   )
 }

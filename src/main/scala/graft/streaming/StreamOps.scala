@@ -163,15 +163,17 @@ object StreamOps extends QueryModule {
         GROUP BY user_id, sess_id
         ORDER BY user_id, sess_id""")),
 
-    // ─── streaming dedup: watermarked dropDuplicates (stream_dedup) ───
+    // ─── streaming dedup: dropDuplicatesWithinWatermark (stream_dedup) ───
     // The streaming counterpart of d1's exact dedup: documents arrive
     // as a stream, the first occurrence of each content signature
     // (sorted word bag of the normalized text) passes, later
-    // duplicates are dropped by keyed state. The watermark (on a
-    // synthetic event time, documents carry none) is what bounds that
-    // state at 100 TB — keys older than the horizon are evicted
-    // instead of accumulating forever. Which duplicate survives is
-    // arrival-order-dependent, so the gate compares the
+    // duplicates are dropped by keyed state. Plain dropDuplicates only
+    // evicts state when the event-time column is PART of the key, so
+    // keying on bag_sig alone would grow state forever; the
+    // WithinWatermark variant evicts per-key state once the watermark
+    // (on a synthetic event time, documents carry none) passes it —
+    // that eviction is what bounds state at 100 TB. Which duplicate
+    // survives is arrival-order-dependent, so the gate compares the
     // survivor-invariant: the distinct-signature count, replayed as
     // batch SQL by the oracle.
     "q59_stream_dedup" -> Q(
@@ -192,7 +194,7 @@ object StreamOps extends QueryModule {
           // signature and the event time, not the document body
           .select(col("bag_sig"), col("ts"))
           .withWatermark("ts", "1 hour")
-        val deduped = keyed.dropDuplicates("bag_sig")
+        val deduped = keyed.dropDuplicatesWithinWatermark("bag_sig")
         val qname = "graft_q59_sink"
         s.streams.active.filter(_.name == qname).foreach(_.stop())
         val query = deduped.writeStream

@@ -43,6 +43,32 @@ class ClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("repeated d6 invocations do not accumulate cached RDDs") {
+    // the working set persists across the build/action boundary, so a
+    // single live handle is expected — but re-running the gate must
+    // REPLACE it (GateCache), not pile up a new copy per invocation
+    SparkEntry.queries("d6_dup_clusters")(spark, TestSpark.SF).collect()
+    val after1 = spark.sparkContext.getPersistentRDDs.size
+    SparkEntry.queries("d6_dup_clusters")(spark, TestSpark.SF).collect()
+    SparkEntry.queries("d6_dup_clusters")(spark, TestSpark.SF).collect()
+    val after3 = spark.sparkContext.getPersistentRDDs.size
+    assert(after3 <= after1,
+      s"cached RDDs grew across invocations: $after1 -> $after3")
+  }
+
+  test("components converge on a long chain (pointer jumping)") {
+    import spark.implicits._
+    // a 200-node path has diameter 199 — a one-hop-per-round loop
+    // with any fixed sub-200 cap would abort; pointer jumping closes
+    // it in O(log n) rounds
+    val edges = (1L until 200L).map(i => (i, i + 1))
+    val sym = (edges ++ edges.map(_.swap)).toDF("src", "dst")
+    val got = graft.queries.LlmCluster.components(sym, 0 /* distributed */)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 200 && got.values.forall(_ == 1L),
+      "all 200 chain nodes must label to the min id 1")
+  }
+
   test("t5 redacts every injected email and phone") {
     val df = SparkEntry.queries("t5_pii_scrub")(spark, TestSpark.SF)
     val rows = df.collect()

@@ -180,6 +180,49 @@ class CatalogSpec extends AnyFunSuite {
     assert(got == Set((1, "a"), (2, "B"), (3, "c")))
   }
 
+  test("incremental schema drift: added column backfills NULL, types widen") {
+    val cat = freshCatalog("evolve")
+    import spark.implicits._
+    cat.createTableIncremental("", "t",
+      Seq((1, 10), (2, 20)).toDF("k", "v"), Seq("k"))
+    // increment WIDENS v (int → long) and ADDS w
+    cat.createTableIncremental("", "t",
+      Seq((2L, 200L, "x"), (3L, 300L, "y")).toDF("k", "v", "w")
+        .select(col("k").cast("int"), col("v"), col("w")), Seq("k"))
+    val sch = cat.table("", "t").schema
+    assert(sch("v").dataType.sql == "BIGINT", s"v must widen: $sch")
+    assert(sch.fieldNames.toSeq == Seq("k", "v", "w"),
+      "new column appended after existing ones")
+    val got = cat.table("", "t").collect()
+      .map(r => (r.getInt(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(got == Set((1, 10L, None), (2, 200L, Some("x")),
+      (3, 300L, Some("y"))))
+  }
+
+  test("incremental schema drift: incompatible types fail loudly") {
+    val cat = freshCatalog("evolve_bad")
+    import spark.implicits._
+    cat.createTableIncremental("", "t",
+      Seq((1, "text")).toDF("k", "v"), Seq("k"))
+    val bad = Seq((1, Seq(1, 2))).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      cat.createTableIncremental("", "t", bad, Seq("k"))
+    }
+    assert(e.getMessage.contains("not widenable"))
+  }
+
+  test("truncateRelation keeps schema and registration, drops rows") {
+    val cat = freshCatalog("trunc")
+    import spark.implicits._
+    cat.createTableAs("", "t", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    val before = cat.table("", "t").schema
+    cat.truncateRelation("", "t")
+    assert(cat.table("", "t").count() == 0)
+    assert(cat.table("", "t").schema == before, "schema must survive")
+    assert(cat.listRelations("") == Seq("t"))
+    assert(spark.table("t").count() == 0, "view re-registered on empty")
+  }
+
   test("partition overwrite rewrites only the touched partitions") {
     val cat = freshCatalog("incrp")
     import spark.implicits._

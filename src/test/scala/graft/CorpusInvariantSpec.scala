@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Several oracles compare byte-offset arithmetic (m2's frame slicing,
+  * d8's NOT-IN signature anti-join, t5's redaction offsets) against
+  * DuckDB's character-based functions; they agree only because the
+  * generated documents corpus is pure single-byte ASCII with no NULL
+  * texts. This spec pins that invariant: a regenerated corpus with a
+  * multibyte character or a null text fails HERE, loudly, instead of
+  * surfacing as an inscrutable oracle hash mismatch. (q60_adversarial
+  * covers the multibyte/null semantics themselves on a synthetic
+  * table — the point of this spec is the corpus contract, not the
+  * functions.)
+  */
+class CorpusInvariantSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("documents corpus is non-null single-byte ASCII") {
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val bad = docs.filter(
+        col("text").isNull ||
+          octet_length(col("text")) =!= length(col("text")))
+        .count()
+      assert(bad == 0,
+        s"$sf/documents.parquet: $bad rows are null or multibyte — " +
+          "the byte-offset oracles (m2/d8/t5) assume ASCII non-null text")
+    }
+  }
+}

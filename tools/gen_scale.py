@@ -39,15 +39,14 @@ SHIFTS = {
 def main(k, out_dir):
     for table, shifts in SHIFTS.items():
         src = pq.read_table(f"{SRC}/{table}.parquet")
-        if not shifts or k == 1:
-            reps = [src] if not shifts else [
-                shift(src, shifts, r) for r in range(k)]
-        else:
-            reps = [shift(src, shifts, r) for r in range(k)]
-        big = pa.concat_tables(reps) if len(reps) > 1 else reps[0]
-        pq.write_table(big, f"{out_dir}/{table}.parquet",
-                       row_group_size=1 << 20)
-        print(f"{table}: {src.num_rows} -> {big.num_rows}")
+        n = 1 if not shifts else k
+        # Stream replica-by-replica so K=1000 (sf100) never holds the
+        # full concatenation in memory (lineitem would be ~60 GB).
+        with pq.ParquetWriter(f"{out_dir}/{table}.parquet", src.schema) as w:
+            for r in range(n):
+                w.write_table(shift(src, shifts, r),
+                              row_group_size=1 << 20)
+        print(f"{table}: {src.num_rows} -> {src.num_rows * n}", flush=True)
 
 
 def shift(t, shifts, r):
