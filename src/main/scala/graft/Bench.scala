@@ -37,7 +37,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_EXCLUDE: comma-separated prefixes to leave out of a
+    // run (e.g. "c_" to skip the engine WRITE gates at a scale factor
+    // whose transient write+shuffle footprint exceeds the local disk —
+    // the oracle replay must then skip the same keys for comparability)
+    val excl = sys.env.getOrElse("SPARK_GRAFT_EXCLUDE", "")
+      .split(",").map(_.trim).filter(_.nonEmpty)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(n => excl.exists(n.startsWith))
     if (warmup) {
       names.foreach { name =>
         try SparkEntry.queries(name)(spark, sfDir).count()

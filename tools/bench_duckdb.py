@@ -29,7 +29,12 @@ def main(sf_dir, oracle_path, runs=3):
         con.execute(
             f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(oracle_path))
-    names = sorted(oracle)
+    # GRAFT_EXCLUDE: comma-separated prefixes to skip, mirroring
+    # graft.Bench's SPARK_GRAFT_EXCLUDE for like-for-like runs
+    import os
+    excl = [p for p in os.environ.get("GRAFT_EXCLUDE", "").split(",") if p]
+    names = sorted(n for n in oracle
+                   if not any(n.startswith(p) for p in excl))
     for name in names:  # warm-up (OS page cache, duckdb readers)
         con.execute(oracle[name]).fetchall()
     samples = {n: [] for n in names}

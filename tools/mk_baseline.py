@@ -26,7 +26,8 @@ an untimed warm-up pass (round 2 proved single-pass numbers swing
 2-15x on unchanged code). Data is the driver's sf0.1 tables scaled by
 key-shifted replication (`tools/gen_scale.py` — distributions,
 FK structure, and parquet schemas preserved exactly): sf1 = 6M
-lineitem rows / 151 MB, sf10 = 60M / 1.5 GB.
+lineitem rows / 151 MB, sf10 = 60M / 1.5 GB, sf100 = 600M / 17 GB
+(written replica-streamed so generation is O(replica) resident).
 
 ## Category summaries
 
@@ -68,6 +69,8 @@ def section(sf, spark, duck):
     for cat, label in (("read", "read queries"), ("test", "t_ data tests"),
                        ("engine", "c_ engine gates (Spark writes, DuckDB reads)")):
         n, sp, du = sums[cat]
+        if n == 0:  # category excluded at this sf (e.g. c_ at sf100)
+            continue
         total_sp += sp
         total_du += du
         out.append(f"| {label} | {n} | {sp:.2f} | {du:.2f} | "
