@@ -43,11 +43,17 @@ object Relational3 extends QueryModule {
         ORDER BY k_mod""")),
 
     // ─── q41: disjunctive predicate groups (TPC-H Q19 shape) ───
+    // No forced broadcast of part: it is corpus-proportional (20M rows
+    // at sf100, unboundedly larger at 100 TB) and broadcast() overrides
+    // the size check up to a hard 8 GB failure. shuffle_hash keeps the
+    // build partition-local and scale-safe; AQE still converts to
+    // broadcast at the scale factors where part is genuinely small.
     "q41_disjunctive" -> Q(
       (s, dir) => {
         val li = t(s, dir, "lineitem")
         val part = t(s, dir, "part")
-        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        li.join(part.hint("shuffle_hash"),
+            col("l_partkey") === col("p_partkey"))
           .filter(
             (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
               col("l_quantity").between(1, 20)) ||
@@ -90,15 +96,19 @@ object Relational3 extends QueryModule {
 
     // ─── q43: correlated per-group scalar subquery (TPC-H Q17 shape) ───
     // Decorrelated the scale-safe way: compute the per-part threshold
-    // once with one aggregation, broadcast it back — no per-row
-    // subquery execution.
+    // once with one aggregation, join it back — no per-row subquery
+    // execution. The threshold side has one row per partkey, i.e. it
+    // is corpus-proportional, so it must NOT be force-broadcast (a
+    // driver-side collect that grows with the data and hard-fails at
+    // 8 GB); shuffle_hash co-partitions both sides on l_partkey and
+    // AQE still broadcasts where the side is actually small.
     "q43_avg_subquery" -> Q(
       (s, dir) => {
         val li = t(s, dir, "lineitem")
         val thresholds = li.groupBy(col("l_partkey").as("t_partkey"))
           .agg(((sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
             / count(col("l_quantity"))) * 0.5).as("half_avg_qty"))
-        li.join(broadcast(thresholds),
+        li.join(thresholds.hint("shuffle_hash"),
             col("l_partkey") === col("t_partkey"))
           .filter(col("l_quantity") < col("half_avg_qty"))
           .agg(dsum(col("l_extendedprice")).as("total_price"),
