@@ -90,10 +90,14 @@ object LlmCluster extends QueryModule {
         // toDF on both sides mints fresh expression ids: prop derives
         // from comp, and unioning a checkpointed frame with its own
         // derivation trips Catalyst's union constraint rewrite
+        // hop is NOT checkpointed: next's cut bounds the plan at two
+        // copies of this round's frame (the exponential growth the
+        // per-round cut prevents needs the uncut frame to carry over
+        // rounds), and skipping the eager materialization saves a
+        // full job per round
         val hop = comp.toDF("id", "comp")
           .unionByName(prop.toDF("id", "comp"))
           .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-          .localCheckpoint()
         // pointer jump: follow the label's own label (labels are node
         // ids, so they resolve in the same frame); left join + coalesce
         // keeps already-minimal labels (comp == id) intact

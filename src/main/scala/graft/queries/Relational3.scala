@@ -24,13 +24,30 @@ object Relational3 extends QueryModule {
     // typed path read, ~2x faster than the per-call Jackson path walk.
     // try_parse_json, not parse_json: malformed JSON must yield NULL
     // (the oracle's json_extract_string semantics), not an exception.
+    //
+    // Dictionary collapse BEFORE the parse: a JSON parse costs ~100x
+    // a string hash, and real event streams repeat payloads heavily,
+    // so the distinct-payload groupBy (map-side combined) runs the
+    // parser once per DISTINCT props value and re-weights by count —
+    // the same exact-collapse-first ordering the dedup family uses.
+    // Columnar engines get this for free by evaluating extraction
+    // over dictionary vectors (why the DuckDB oracle is fast on a
+    // repetitive corpus); on a unique-payload corpus the collapse is
+    // the identity plus one hash shuffle of what the aggregation
+    // would have shuffled anyway. Result is exactly the original
+    // per-row aggregate: n = Σcnt, k_sum = Σ k·cnt (null k groups
+    // to the null k_mod, null k·cnt drops from the sum — same as
+    // per-row).
     "q40_json" -> Q(
       (s, dir) => {
         Q.events(s, dir)
-          .select(col("event_id"),
-            try_variant_get(try_parse_json(col("props")), "$.k", "long").as("k"))
+          .groupBy(col("props"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(
+            try_variant_get(try_parse_json(col("props")), "$.k", "long").as("k"),
+            col("cnt"))
           .groupBy((col("k") % 10).as("k_mod"))
-          .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
+          .agg(sum(col("cnt")).as("n"), sum(col("k") * col("cnt")).as("k_sum"))
           .orderBy(col("k_mod"))
       },
       Some("""SELECT cast(json_extract_string(props, '$.k') as bigint) % 10

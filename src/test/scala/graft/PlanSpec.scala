@@ -112,6 +112,42 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("is_high"), s"priority not pre-folded:\n$p")
   }
 
+  test("q47 salting spreads the hot key and replicates only the hot dim row") {
+    import org.apache.spark.sql.functions._
+    // the mechanism under test, restated: the hot key's probe rows
+    // must fan out over all 8 salt values (so no single shuffle
+    // partition owns the skew) while every cold key keeps salt 0 (so
+    // the build side replicates exactly the ONE hot dim row x8 and
+    // cold keys pay nothing — whole-dim replication was the round-4
+    // mistake this formulation replaces)
+    val li = spark.read.parquet(s"${TestSpark.SF}/lineitem.parquet")
+      .select(
+        when((col("l_orderkey") % 100) < 30, lit(0L))
+          .otherwise(col("l_orderkey")).as("k"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("salt",
+        when(col("k") === 0L,
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(8)))
+          .otherwise(lit(0L)))
+    val hotSalts = li.filter(col("k") === 0L)
+      .select(col("salt")).distinct().count()
+    val coldSalts = li.filter(col("k") =!= 0L)
+      .select(col("salt")).distinct().count()
+    assert(hotSalts == 8, s"hot key must spread over 8 salts, got $hotSalts")
+    assert(coldSalts == 1, s"cold keys must keep salt 0, got $coldSalts")
+    // and the gate's result must be salt-invariant vs the plain join
+    val got = SparkEntry.queries("q47_salted_join")(spark, TestSpark.SF)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val plain = spark.read.parquet(s"${TestSpark.SF}/lineitem.parquet")
+      .select(when((col("l_orderkey") % 100) < 30, lit(0L))
+        .otherwise(col("l_orderkey")).as("k"))
+      .join(spark.read.parquet(s"${TestSpark.SF}/orders.parquet"),
+        col("k") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == plain, s"salted result differs from plain join: $got vs $plain")
+  }
+
   test("q36 range join stays an equi-join (no nested-loop)") {
     val p = planOf("q36_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
