@@ -94,15 +94,22 @@ object Relational extends QueryModule {
         // is functionally dependent on the join key, so revenue per
         // orderkey is the same either side of it): the orderkey
         // shuffle then carries one partially-combined row per order
-        // instead of every line item. The broadcast customer
-        // semi-filter runs on the orders side BEFORE its shuffle, so
-        // the 1/5 segment selectivity also cuts shuffle volume 5x.
+        // instead of every line item. The customer semi-filter runs on
+        // the orders side BEFORE its shuffle, so the 1/5 segment
+        // selectivity also cuts shuffle volume 5x. The filtered
+        // customer side is corpus-proportional (1/5 of all customers —
+        // billions of keys at 100 TB), so it must NOT be
+        // force-broadcast (broadcast() overrides the size check up to
+        // a hard 8 GB failure); shuffle_hash keeps the semi-build
+        // partition-local, and AQE still converts to broadcast at the
+        // scale factors where the segment is genuinely small.
         val liAgg = li
           .groupBy(col("l_orderkey"))
           .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
             .as("revenue"))
         val ordF = ord
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+          .join(cust.hint("shuffle_hash"),
+            col("o_custkey") === col("c_custkey"), "left_semi")
           .select(col("o_orderkey"), col("o_orderdate"))
         liAgg.join(ordF.hint("shuffle_hash"),
             col("l_orderkey") === col("o_orderkey"))
@@ -159,11 +166,15 @@ object Relational extends QueryModule {
         val sup = t(s, dir, "supplier")
         // Pre-aggregated star join. The supplier join carries no
         // payload columns and s_suppkey is unique, so inner ≡
-        // left_semi against a broadcast key set (no 60M-row shuffle
-        // through a wide join). Revenue is then partially summed per
-        // orderkey BEFORE the orderkey shuffle — decimal addition is
-        // exact and associative, so nesting the sums leaves the final
-        // n_name totals bit-identical to the flat oracle sum. The
+        // left_semi against a key set (no 60M-row shuffle through a
+        // wide join). supplier is corpus-proportional (10k rows/SF →
+        // ~8 GB of keys at 100 TB TPC-H), so the semi-build must NOT
+        // be force-broadcast; shuffle_hash keeps it partition-local
+        // and AQE still broadcasts where it is genuinely small.
+        // Revenue is then partially summed per orderkey BEFORE the
+        // orderkey shuffle — decimal addition is exact and
+        // associative, so nesting the sums leaves the final n_name
+        // totals bit-identical to the flat oracle sum. The
         // region→nation→customer chain collapses to one pre-filtered
         // dimension (ASIA customers + their nation name) joined after
         // the fact tables, when only ~one row per order remains.
@@ -174,7 +185,7 @@ object Relational extends QueryModule {
           .join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
           .select(col("c_custkey"), col("n_name"))
         val liAgg = li
-          .join(broadcast(sup.select(col("s_suppkey"))),
+          .join(sup.select(col("s_suppkey")).hint("shuffle_hash"),
             col("l_suppkey") === col("s_suppkey"), "left_semi")
           .groupBy(col("l_orderkey"))
           .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))

@@ -93,13 +93,19 @@ object Relational3 extends QueryModule {
                AND l_quantity BETWEEN 20 AND 50)""")),
 
     // ─── q42: NOT IN subquery (TPC-H Q16 flavor) ───
+    // The anti-build (negative-balance suppliers) is a constant
+    // fraction of supplier, i.e. corpus-proportional — it must NOT be
+    // force-broadcast (broadcast() overrides the size check up to a
+    // hard 8 GB failure at the 100 TB design point); shuffle_hash
+    // keeps the build partition-local and AQE still converts to
+    // broadcast at scale factors where the side is genuinely small.
     "q42_not_in" -> Q(
       (s, dir) => {
         val sup = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
           .select(col("s_suppkey"))
         val li = t(s, dir, "lineitem")
-        li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"),
-            "left_anti")
+        li.join(sup.hint("shuffle_hash"),
+            col("l_suppkey") === col("s_suppkey"), "left_anti")
           .groupBy(col("l_suppkey"))
           .agg(count(lit(1)).as("n_items"))
           .orderBy(col("l_suppkey"))

@@ -31,10 +31,33 @@ class PlanSpec extends AnyFunSuite {
       s"scan must include projected columns: $readSchema")
   }
 
-  test("q5 broadcasts every dimension side") {
+  test("q5 has no cartesian product and broadcasts the fixed dims") {
     val p = planOf("q5_multijoin")
-    assert(p.contains("BroadcastHashJoin"), s"expected broadcasts:\n$p")
+    // region/nation are fixed-cardinality (5/25 rows at every SF) and
+    // stay force-broadcast; everything else must not be.
+    assert(p.contains("BroadcastHashJoin"), s"expected dim broadcasts:\n$p")
     assert(!p.contains("CartesianProduct"), "no cartesian products")
+  }
+
+  test("q3/q5/q42/q43 never force-broadcast a corpus-proportional side") {
+    // broadcast() overrides spark.sql.autoBroadcastJoinThreshold up to
+    // a hard 8 GB failure, so a forced-broadcast side must have
+    // CONSTANT cardinality (region=5, nation=25). Sides that grow with
+    // the corpus (customer segments, supplier, per-key thresholds) use
+    // shuffle_hash and let AQE re-broadcast when genuinely small.
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+    for (q <- Seq("q3_join_agg", "q5_multijoin", "q42_not_in",
+        "q43_avg_subquery", "q41_disjunctive")) {
+      val df = SparkEntry.queries(q)(spark, TestSpark.SF)
+      val forced = df.queryExecution.analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
+      }
+      forced.foreach { h =>
+        val cols = h.child.output.map(_.name)
+        assert(cols.forall(n => n.startsWith("n_") || n.startsWith("r_")),
+          s"$q force-broadcasts a corpus-proportional side: ${cols.mkString(", ")}")
+      }
+    }
   }
 
   test("q1 aggregates partially before the exchange (map-side combine)") {
