@@ -17,37 +17,24 @@ object Relational3 extends QueryModule {
   private def dsumSql(expr: String, scale: Int = 2): String =
     s"cast(sum(cast($expr as decimal(18,$scale))) as double)"
 
+
   def queries: Map[String, Q] = Map(
     // ─── q40: JSON extraction (semi-structured column) ───
-    // parse_json → variant_get (Spark 4's binary variant encoding)
-    // instead of get_json_object: one structural parse per row with a
-    // typed path read, ~2x faster than the per-call Jackson path walk.
-    // try_parse_json, not parse_json: malformed JSON must yield NULL
-    // (the oracle's json_extract_string semantics), not an exception.
-    //
-    // Dictionary collapse BEFORE the parse: a JSON parse costs ~100x
-    // a string hash, and real event streams repeat payloads heavily,
-    // so the distinct-payload groupBy (map-side combined) runs the
-    // parser once per DISTINCT props value and re-weights by count —
-    // the same exact-collapse-first ordering the dedup family uses.
-    // Columnar engines get this for free by evaluating extraction
-    // over dictionary vectors (why the DuckDB oracle is fast on a
-    // repetitive corpus); on a unique-payload corpus the collapse is
-    // the identity plus one hash shuffle of what the aggregation
-    // would have shuffled anyway. Result is exactly the original
-    // per-row aggregate: n = Σcnt, k_sum = Σ k·cnt (null k groups
-    // to the null k_mod, null k·cnt drops from the sum — same as
-    // per-row).
+    // Single-scalar-path reads don't need a structural parse, a
+    // variant encode, or a distinct-payload collapse (round 5's
+    // approach — a full-corpus string hash aggregate that degrades to
+    // a corpus-size shuffle on low-repetition payloads): the native
+    // codegen'd JsonIntKey expression byte-scans the flat common shape
+    // in place at ~scan speed and falls back to a validating Jackson
+    // streaming parse on nested/escaped payloads — malformed JSON
+    // yields NULL (the oracle's json_extract_string semantics), never
+    // an error. See graft.functions.JsonIntKey for the contract.
     "q40_json" -> Q(
       (s, dir) => {
         Q.events(s, dir)
-          .groupBy(col("props"))
-          .agg(count(lit(1)).as("cnt"))
-          .select(
-            try_variant_get(try_parse_json(col("props")), "$.k", "long").as("k"),
-            col("cnt"))
+          .select(graft.functions.JsonIntKey.of(col("props"), "k").as("k"))
           .groupBy((col("k") % 10).as("k_mod"))
-          .agg(sum(col("cnt")).as("n"), sum(col("k") * col("cnt")).as("k_sum"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
           .orderBy(col("k_mod"))
       },
       Some("""SELECT cast(json_extract_string(props, '$.k') as bigint) % 10
@@ -203,18 +190,22 @@ object Relational3 extends QueryModule {
     // rows at sf10 — genuinely non-broadcastable, unlike a 3-value
     // flag dim). The fact's join key is made skewed (30% of rows
     // collapse onto orderkey 0); salting only the known-hot key
-    // spreads its probe rows over 8 shuffle partitions while the
-    // build side replicates ONLY the hot key's dim row ×8 — cold keys
-    // pay salt=0 and join exactly as the plain shuffle join would.
-    // This is the production form: whole-dim ×SALTS replication (the
-    // round-4 version) multiplies build-side shuffle volume for no
-    // gain. The salt is a deterministic row hash, so the result is
-    // salt-invariant — exactly what the oracle's plain join checks.
+    // spreads its rows over 8 partitions while the build side
+    // replicates ONLY the hot key's dim row ×8 — cold keys pay salt=0
+    // and behave exactly as without salting. The dim carries a single
+    // functionally-dependent payload (o_orderpriority), so the fact is
+    // pre-aggregated per (k, salt) BEFORE the join: the shuffle and
+    // probe side shrink from every line item to ~|distinct orderkeys|
+    // rows, and the hot key's partials land on 8 reducers instead of
+    // one. Decimal addition is exact and associative, so summing the
+    // per-(k,salt) partials after the join is bit-identical to the
+    // oracle's flat sum. The salt is a deterministic row hash, so the
+    // result is salt-invariant — what the oracle's plain join checks.
     "q47_salted_join" -> Q(
       (s, dir) => {
         val SALTS = 8
         val hotKey = 0L
-        val fact = t(s, dir, "lineitem")
+        val factAgg = t(s, dir, "lineitem")
           .select(
             when((col("l_orderkey") % 100) < 30, lit(hotKey))
               .otherwise(col("l_orderkey")).as("k"),
@@ -224,17 +215,22 @@ object Relational3 extends QueryModule {
               pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
                 lit(SALTS)))
               .otherwise(lit(0L)))
+          .groupBy(col("k"), col("salt"))
+          .agg(count(lit(1)).as("n_part"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+              .as("total_part"))
         val dim = t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderpriority"))
           .withColumn("salt", explode(
             when(col("o_orderkey") === hotKey,
               sequence(lit(0L), lit(SALTS - 1L)))
               .otherwise(array(lit(0L)))))
-        fact.join(dim,
-            col("k") === col("o_orderkey") && fact("salt") === dim("salt"))
+        factAgg.join(dim,
+            col("k") === col("o_orderkey") &&
+              factAgg("salt") === dim("salt"))
           .groupBy(col("o_orderpriority"))
-          .agg(count(lit(1)).as("n"),
-            dsum(col("l_extendedprice")).as("total"))
+          .agg(sum(col("n_part")).as("n"),
+            sum(col("total_part")).cast("double").as("total"))
           .orderBy(col("o_orderpriority"))
       },
       Some(s"""SELECT o_orderpriority,
