@@ -204,6 +204,42 @@ object LlmSim extends QueryModule {
       .distinct()
       .withColumn("sh30", pmod(xxhash64(col("sh")), lit(1L << 30)))
 
+  /** LSH candidate pairs from a MinHash signature table
+    * `(doc_id, sig: array<long>[16])`, bounded two ways:
+    *
+    *  - **r=2 banding**: 8 bands, each keyed by the hash of a PAIR of
+    *    minhashes, so a random pair collides in a band with
+    *    probability s² (s = true jaccard) instead of s — mildly
+    *    self-similar corpora no longer flood the buckets (the round-5
+    *    r=1 form put every pair sharing ANY single minhash in a
+    *    bucket).
+    *  - **sorted-neighborhood cap** (same as d4): docs rank by id
+    *    within each bucket and pair only with their next 8 neighbors,
+    *    as a pure equi-join on (band, bh, rank) — candidate count is
+    *    ≤ 8·8·n by construction (BandBoundSpec injects a 100-strong
+    *    mutual near-dup cluster to pin this), and the quadratic
+    *    intermediate never materializes at any scale. A true dup
+    *    cluster stays fully discoverable through neighborhood
+    *    chaining: consecutive members pair in every band.
+    */
+  private[graft] def minhashCandidates(mhArr: DataFrame): DataFrame = {
+    val bands = mhArr.select(col("doc_id"),
+      posexplode(array((0 until 8).map { j =>
+        xxhash64(col("sig")(2 * j), col("sig")(2 * j + 1))
+      }: _*)).as(Seq("band", "bh")))
+    val wb = Window.partitionBy(col("band"), col("bh"))
+      .orderBy(col("doc_id"))
+    val ranked = bands.withColumn("rn", row_number().over(wb))
+    val probes = ranked.select(col("doc_id").as("a"),
+      col("band"), col("bh"),
+      explode(sequence(col("rn") + 1, col("rn") + 8)).as("rn"))
+    probes.join(ranked.select(col("doc_id").as("b"),
+        col("band"), col("bh"), col("rn")),
+        Seq("band", "bh", "rn"))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+
   def queries: Map[String, Q] = Map(
     // ─── d2: MinHash + LSH near-dup candidates, exact-verified ───
     // (rows-only: the banding/bucketing is engine-specific; its exact-
@@ -232,15 +268,7 @@ object LlmSim extends QueryModule {
         val mh = tri.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
         val mhArr = mh.select(col("doc_id"),
           array((0 until 16).map(i => col(s"mh_$i")): _*).as("sig"))
-        // bands of r=1: candidates share any minhash value
-        val bands = mhArr.select(col("doc_id"),
-          posexplode(col("sig")).as(Seq("band", "value")))
-        val cands = bands.as("x").join(bands.as("y"),
-            col("x.band") === col("y.band") &&
-              col("x.value") === col("y.value") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-          .distinct()
+        val cands = minhashCandidates(mhArr)
         // estimated similarity = matching minhash fraction
         val est = cands
           .join(mhArr.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
