@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructField
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** A directory of parquet files treated as a database — the Spark-first
   * re-expression of the reference's filesystem catalog
@@ -45,9 +45,25 @@ final class Catalog(val spark: SparkSession, val database: String) {
   /** The Hadoop filesystem owning `database` (local, HDFS, s3a, ...). */
   val fs: FileSystem = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** View name a relation registers under (single-part identifier). */
-  def viewName(schema: String, table: String): String =
-    if (schema.isEmpty) table else s"${schema}__$table"
+  /** View name a relation registers under (single-part identifier).
+    *
+    * Spark temp views only accept word-ish single-part names, so
+    * relations whose names carry spaces / dots / quotes (the case the
+    * reference handles with its `quote()` double-quoting,
+    * impl.py:182) register under a deterministic sanitized alias:
+    * odd characters become `_` and a hash of the original name is
+    * appended so distinct odd names can't collide. The physical path
+    * keeps the real name; ref()/source() templating resolves through
+    * this method, so models reference odd names transparently.
+    */
+  def viewName(schema: String, table: String): String = {
+    val raw = if (schema.isEmpty) table else s"${schema}__$table"
+    if (raw.matches("[A-Za-z0-9_]+")) raw
+    else {
+      val h = scala.util.hashing.MurmurHash3.stringHash(raw)
+      raw.replaceAll("[^A-Za-z0-9_]", "_") + f"_$h%08x"
+    }
+  }
 
   /** Physical path of a relation (reference: relation.py render_path). */
   def relationPath(schema: String, table: String): Path =
@@ -232,17 +248,21 @@ final class Catalog(val spark: SparkSession, val database: String) {
     }
   }
 
-  /** Cast the columns `a` and `b` share to their tightest common type
+  /** Cast the columns `a` and `b` share to their widest common type
     * (Catalyst's own promotion lattice — exactly what a UNION would
     * infer), leaving each side's private columns untouched. Fails
     * loudly on genuinely incompatible drift (e.g. string vs array).
+    * findWiderTypeForTwo, not findTightestCommonType: decimal
+    * precision/scale drift (decimal(12,2) → decimal(18,2)) is the
+    * primary case the reference's expand_target_column_types handles,
+    * and the tightest-type lattice does not widen decimals at all.
     */
   private def widenTo(a: DataFrame, b: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.catalyst.analysis.TypeCoercion
     val bTypes = b.schema.fields.map(f => f.name -> f.dataType).toMap
     val widened = a.schema.fields.flatMap { f =>
       bTypes.get(f.name).filter(_ != f.dataType).map { bt =>
-        val t = TypeCoercion.findTightestCommonType(f.dataType, bt)
+        val t = TypeCoercion.findWiderTypeForTwo(f.dataType, bt)
           .getOrElse(throw new IllegalArgumentException(
             s"incremental schema drift on '${f.name}' is not widenable: " +
               s"${f.dataType.sql} vs ${bt.sql}"))
@@ -365,12 +385,34 @@ final class Catalog(val spark: SparkSession, val database: String) {
   /** CSV seed ingestion (reference: impl.py load_dataframe +
     * macros/seed.sql): header + schema inference, materialized as
     * parquet, registered as a view.
+    *
+    * `columnTypes` mirrors the reference's explicit agate→engine type
+    * conversions (impl.py:185-208 convert_text_type …
+    * convert_time_type, surfaced to users as the seed `column_types`
+    * config): inference alone destroys values that only LOOK numeric —
+    * a leading-zero code column inferred as int turns "007" into 7 —
+    * so declared columns are parsed from the source text with the
+    * declared type (not cast after the fact, which would bake the
+    * inference damage in).
     */
-  def seedCsv(schema: String, tableName: String, csvPath: String): Unit = {
-    val df = spark.read
-      .option("header", "true")
-      .option("inferSchema", "true")
-      .csv(csvPath)
+  def seedCsv(schema: String, tableName: String, csvPath: String,
+      columnTypes: Map[String, DataType] = Map.empty): Unit = {
+    val reader = spark.read.option("header", "true")
+    val merged =
+      if (columnTypes.isEmpty) None
+      else {
+        val inferred = reader.option("inferSchema", "true").csv(csvPath).schema
+        val known = inferred.fieldNames.toSet
+        val unknown = columnTypes.keySet.diff(known)
+        require(unknown.isEmpty,
+          s"seed column_types name no such column(s): ${unknown.mkString(", ")}")
+        Some(StructType(inferred.map(f =>
+          columnTypes.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f))))
+      }
+    val df = merged match {
+      case Some(s) => reader.schema(s).csv(csvPath)
+      case None => reader.option("inferSchema", "true").csv(csvPath)
+    }
     createTableAs(schema, tableName, df)
   }
 

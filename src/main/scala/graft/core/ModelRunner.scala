@@ -112,7 +112,7 @@ final class ModelRunner(
     })
     out = ModelRunner.SourcePattern.replaceAllIn(out, mm => {
       val (schema, table) = (mm.group(1), mm.group(2))
-      val view = s"src__${schema}__$table"
+      val view = "src__" + target.viewName(schema, table)
       sourceResolver(schema, table).createOrReplaceTempView(view)
       view
     })
@@ -121,6 +121,9 @@ final class ModelRunner(
 }
 
 object ModelRunner {
-  val RefPattern = """\{\{\s*ref\('([\w.]+)'\)\s*\}\}""".r
-  val SourcePattern = """\{\{\s*source\('([\w.]*)',\s*'([\w.]+)'\)\s*\}\}""".r
+  // any non-quote chars: odd model/table names (spaces, dots, dashes)
+  // resolve through Catalog.viewName's sanitized alias rather than
+  // failing to match and surfacing as an opaque SQL parse error
+  val RefPattern = """\{\{\s*ref\('([^']+)'\)\s*\}\}""".r
+  val SourcePattern = """\{\{\s*source\('([^']*)',\s*'([^']+)'\)\s*\}\}""".r
 }

@@ -301,6 +301,35 @@ object Engine extends QueryModule {
       Some("""SELECT n_nationkey, n_name, n_regionkey
         FROM nation ORDER BY n_nationkey""")),
 
+    // ─── C9b: seed column_types parity — declared types beat inference
+    // (reference: impl.py:185-208 convert_*_type; a leading-zero code
+    // column inferred as int would turn "007" into 7, and a money
+    // column inferred as double would leave the decimal grid) ───
+    "c_seed_typed" -> Q(
+      (s, dir) => {
+        val cat = new Catalog(s, Q.scratch(s, "seed_typed"))
+        val rows = t(s, dir, "nation")
+          .orderBy(col("n_nationkey"))
+          .select(col("n_nationkey"),
+            lpad(col("n_nationkey").cast("string"), 3, "0").as("code"),
+            format_number(col("n_regionkey") * 1.5 + 0.25, 2).as("bal"))
+          .collect()
+          .map(r => s"${r.getInt(0)},${r.getString(1)},${r.getString(2)}")
+        val csv = new org.apache.hadoop.fs.Path(cat.database, "typed_seed.csv")
+        val out = cat.fs.create(csv, true)
+        try out.write(("n_nationkey,code,bal" +: rows.toSeq)
+          .mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        cat.seedCsv("", "typed_seed", csv.toString, Map(
+          "code" -> org.apache.spark.sql.types.StringType,
+          "bal" -> DecimalType(10, 2)))
+        cat.table("", "typed_seed").orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT n_nationkey,
+          lpad(cast(n_nationkey as varchar), 3, '0') AS code,
+          cast(n_regionkey * 1.5 + 0.25 as decimal(10,2)) AS bal
+        FROM nation ORDER BY n_nationkey""")),
+
     // ─── C12: rows-different relation diff ───
     "c_rows_different" -> Q(
       (s, dir) => {

@@ -75,9 +75,17 @@ object GateCache {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   def swap(key: String, df: DataFrame): DataFrame = {
-    val k = df.sparkSession.hashCode() + ":" + key
+    // identityHashCode, not hashCode: two live sessions must never
+    // share a key (a collision would unpersist the other session's
+    // working set); stopped sessions are evicted below so the map
+    // cannot strongly reference dead plans for the JVM lifetime
+    val session = df.sparkSession
+    val k = System.identityHashCode(session) + ":" + key
     val prev = handles.put(k, df)
     if (prev != null && (prev ne df)) prev.unpersist(false)
+    handles.forEach { (key, h) =>
+      if (h.sparkSession.sparkContext.isStopped) handles.remove(key, h)
+    }
     df
   }
 

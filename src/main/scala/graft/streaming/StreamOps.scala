@@ -203,7 +203,14 @@ object StreamOps extends QueryModule {
           .queryName(qname)
           .start()
         try query.processAllAvailable() finally query.stop()
-        s.table(qname).agg(count(lit(1)).as("n_unique"))
+        // distinct in the sink, not count(*): WithinWatermark only
+        // suppresses duplicates whose event times fall inside the gap,
+        // so a multi-file corpus (or a trigger limit) replayed over
+        // several micro-batches may legitimately re-emit a far-apart
+        // duplicate after its key's state was evicted — the sink-side
+        // distinct keeps the gate's invariant independent of how the
+        // source happens to batch
+        s.table(qname).agg(count_distinct(col("bag_sig")).as("n_unique"))
       },
       Some("""SELECT count(distinct md5(array_to_string(list_sort(
             list_distinct(string_split(

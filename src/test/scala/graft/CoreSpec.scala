@@ -199,6 +199,25 @@ class CatalogSpec extends AnyFunSuite {
       (3, 300L, Some("y"))))
   }
 
+  test("incremental schema drift: decimal precision widens") {
+    // the reference's expand_target_column_types case: decimal(12,2)
+    // history + decimal(18,2) increment must evolve, not fail
+    val cat = freshCatalog("evolve_dec")
+    import spark.implicits._
+    cat.createTableIncremental("", "t",
+      Seq((1, "10.25"), (2, "20.50")).toDF("k", "v")
+        .select(col("k"), col("v").cast("decimal(12,2)")), Seq("k"))
+    cat.createTableIncremental("", "t",
+      Seq((2, "9999999999999999.75"), (3, "30.00")).toDF("k", "v")
+        .select(col("k"), col("v").cast("decimal(18,2)")), Seq("k"))
+    val sch = cat.table("", "t").schema
+    assert(sch("v").dataType.sql == "DECIMAL(18,2)", s"v must widen: $sch")
+    val got = cat.table("", "t").collect()
+      .map(r => (r.getInt(0), r.getDecimal(1).toPlainString)).toSet
+    assert(got == Set((1, "10.25"), (2, "9999999999999999.75"),
+      (3, "30.00")))
+  }
+
   test("incremental schema drift: incompatible types fail loudly") {
     val cat = freshCatalog("evolve_bad")
     import spark.implicits._
@@ -345,6 +364,22 @@ class ModelRunnerSpec extends AnyFunSuite {
       r.run(Seq(Model("a", "select * from {{ ref('nope') }}")))
     }
     assert(e.getMessage.contains("unknown model"))
+  }
+
+  test("odd model names (spaces, dots, dashes) resolve through refs") {
+    // the reference quotes odd identifiers (impl.py quote()); graft
+    // registers them under a sanitized alias that ref() resolves to
+    val (target, r) = runner()
+    val order = r.run(Seq(
+      Model("my model", "select * from {{ source('', 'region') }}"),
+      Model("down-stream.v2",
+        "select count(*) as n from {{ ref('my model') }}")))
+    assert(order == Seq("my model", "down-stream.v2"))
+    assert(target.table("", "down-stream.v2").head().getLong(0) == 5)
+    assert(target.listRelations("").toSet == Set("my model", "down-stream.v2"),
+      "physical relations keep their real names")
+    // distinct odd names must not collide after sanitization
+    assert(target.viewName("", "my model") != target.viewName("", "my.model"))
   }
 }
 

@@ -18,7 +18,10 @@ class CorpusInvariantSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   test("documents corpus is non-null single-byte ASCII") {
-    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    // derive both scale dirs from the root TestSpark.SF pins, so the
+    // spec follows the data root instead of hardcoding this machine's
+    val root = new java.io.File(TestSpark.SF).getParent
+    for (sf <- Seq(TestSpark.SF, s"$root/sf0.01")) {
       val docs = spark.read.parquet(s"$sf/documents.parquet")
       val bad = docs.filter(
         col("text").isNull ||
