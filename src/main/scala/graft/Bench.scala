@@ -25,16 +25,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
-    val spark = SparkSession.builder()
+    val spark = graft.core.EngineDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
       // default 100-entry codegen class cache evicts between the
       // warm-up and measured passes with ~90 queries in flight,
       // re-paying multi-second janino compiles for the widest plans
       .config("spark.sql.codegen.cache.maxEntries", "10000")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // SPARK_GRAFT_EXCLUDE: comma-separated prefixes to leave out of a
@@ -43,8 +42,14 @@ object Bench {
     // the oracle replay must then skip the same keys for comparability)
     val excl = sys.env.getOrElse("SPARK_GRAFT_EXCLUDE", "")
       .split(",").map(_.trim).filter(_.nonEmpty)
+    // SPARK_GRAFT_ONLY: comma-separated prefixes to RESTRICT a run to
+    // (e.g. "c_" to measure just the engine write gates at a scale
+    // factor whose full-suite footprint the disk can't hold)
+    val only = sys.env.getOrElse("SPARK_GRAFT_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(n => excl.exists(n.startsWith))
+      .filter(n => only.isEmpty || only.exists(n.startsWith))
     if (warmup) {
       names.foreach { name =>
         try SparkEntry.queries(name)(spark, sfDir).count()

@@ -100,16 +100,16 @@ object Relational extends QueryModule {
         // customer side is corpus-proportional (1/5 of all customers —
         // billions of keys at 100 TB), so it must NOT be
         // force-broadcast (broadcast() overrides the size check up to
-        // a hard 8 GB failure); shuffle_hash keeps the semi-build
-        // partition-local, and AQE still converts to broadcast at the
-        // scale factors where the segment is genuinely small.
+        // a hard 8 GB failure); unhinted, the EngineDefaults join
+        // policy size-CHECKS it — planner or AQE broadcasts while the
+        // segment genuinely fits, and it degrades to a shuffle join at
+        // corpus scale instead of failing.
         val liAgg = li
           .groupBy(col("l_orderkey"))
           .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
             .as("revenue"))
         val ordF = ord
-          .join(cust.hint("shuffle_hash"),
-            col("o_custkey") === col("c_custkey"), "left_semi")
+          .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
           .select(col("o_orderkey"), col("o_orderdate"))
         liAgg.join(ordF.hint("shuffle_hash"),
             col("l_orderkey") === col("o_orderkey"))
@@ -169,8 +169,9 @@ object Relational extends QueryModule {
         // left_semi against a key set (no 60M-row shuffle through a
         // wide join). supplier is corpus-proportional (10k rows/SF →
         // ~8 GB of keys at 100 TB TPC-H), so the semi-build must NOT
-        // be force-broadcast; shuffle_hash keeps it partition-local
-        // and AQE still broadcasts where it is genuinely small.
+        // be force-broadcast; unhinted, the EngineDefaults size-checked
+        // policy broadcasts it while it fits and shuffles at the scale
+        // where it doesn't — never a hard failure.
         // Revenue is then partially summed per orderkey BEFORE the
         // orderkey shuffle — decimal addition is exact and
         // associative, so nesting the sums leaves the final n_name
@@ -185,7 +186,7 @@ object Relational extends QueryModule {
           .join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
           .select(col("c_custkey"), col("n_name"))
         val liAgg = li
-          .join(sup.select(col("s_suppkey")).hint("shuffle_hash"),
+          .join(sup.select(col("s_suppkey")),
             col("l_suppkey") === col("s_suppkey"), "left_semi")
           .groupBy(col("l_orderkey"))
           .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
@@ -196,6 +197,14 @@ object Relational extends QueryModule {
           // beats sorting both (partition-local build, AQE-skew-safe)
           .join(ord.select(col("o_orderkey"), col("o_custkey"))
             .hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+          // third pre-agg level: collapse to one row per customer
+          // BEFORE the customer join (~10 orders/cust in TPC-H), so
+          // the custkey shuffle moves |customers| rows, not |orders| —
+          // decimal addition stays exact and associative through every
+          // nesting level, so the n_name totals are still
+          // bit-identical to the oracle's flat sum
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("rev")).as("rev"))
           .join(custA, col("o_custkey") === col("c_custkey"))
           .groupBy(col("n_name"))
           .agg(sum(col("rev")).cast("double").as("revenue"))

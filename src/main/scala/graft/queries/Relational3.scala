@@ -49,15 +49,15 @@ object Relational3 extends QueryModule {
     // ─── q41: disjunctive predicate groups (TPC-H Q19 shape) ───
     // No forced broadcast of part: it is corpus-proportional (20M rows
     // at sf100, unboundedly larger at 100 TB) and broadcast() overrides
-    // the size check up to a hard 8 GB failure. shuffle_hash keeps the
-    // build partition-local and scale-safe; AQE still converts to
-    // broadcast at the scale factors where part is genuinely small.
+    // the size check up to a hard 8 GB failure. Unhinted, the
+    // EngineDefaults size-checked policy broadcasts part at the scale
+    // factors where it genuinely fits and falls back to a shuffle join
+    // (AQE picks shuffled-hash under the local-map threshold) beyond.
     "q41_disjunctive" -> Q(
       (s, dir) => {
         val li = t(s, dir, "lineitem")
         val part = t(s, dir, "part")
-        li.join(part.hint("shuffle_hash"),
-            col("l_partkey") === col("p_partkey"))
+        li.join(part, col("l_partkey") === col("p_partkey"))
           .filter(
             (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
               col("l_quantity").between(1, 20)) ||
@@ -83,16 +83,15 @@ object Relational3 extends QueryModule {
     // The anti-build (negative-balance suppliers) is a constant
     // fraction of supplier, i.e. corpus-proportional — it must NOT be
     // force-broadcast (broadcast() overrides the size check up to a
-    // hard 8 GB failure at the 100 TB design point); shuffle_hash
-    // keeps the build partition-local and AQE still converts to
-    // broadcast at scale factors where the side is genuinely small.
+    // hard 8 GB failure at the 100 TB design point); unhinted, the
+    // EngineDefaults size-checked policy broadcasts it while it
+    // genuinely fits and degrades to a shuffle join at corpus scale.
     "q42_not_in" -> Q(
       (s, dir) => {
         val sup = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
           .select(col("s_suppkey"))
         val li = t(s, dir, "lineitem")
-        li.join(sup.hint("shuffle_hash"),
-            col("l_suppkey") === col("s_suppkey"), "left_anti")
+        li.join(sup, col("l_suppkey") === col("s_suppkey"), "left_anti")
           .groupBy(col("l_suppkey"))
           .agg(count(lit(1)).as("n_items"))
           .orderBy(col("l_suppkey"))
@@ -110,8 +109,13 @@ object Relational3 extends QueryModule {
     // execution. The threshold side has one row per partkey, i.e. it
     // is corpus-proportional, so it must NOT be force-broadcast (a
     // driver-side collect that grows with the data and hard-fails at
-    // 8 GB); shuffle_hash co-partitions both sides on l_partkey and
-    // AQE still broadcasts where the side is actually small.
+    // 8 GB). The explicit shuffle_hash hint stays, unlike q3/q5/q42's
+    // narrow key-set builds: this build is one WIDE row per partkey
+    // (~300 MB at sf100, over the 64 MB broadcast threshold), where
+    // sort-merge would sort all 600M probe rows and the unhinted
+    // AQE SMJ→SHJ conversion measured an OOM on coalesced partitions
+    // (see EngineDefaults) — the hint pins the hash build at the full
+    // shuffle fan-out, where each partition's slice genuinely fits.
     "q43_avg_subquery" -> Q(
       (s, dir) => {
         val li = t(s, dir, "lineitem")

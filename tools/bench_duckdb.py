@@ -33,8 +33,11 @@ def main(sf_dir, oracle_path, runs=3):
     # graft.Bench's SPARK_GRAFT_EXCLUDE for like-for-like runs
     import os
     excl = [p for p in os.environ.get("GRAFT_EXCLUDE", "").split(",") if p]
+    # GRAFT_ONLY mirrors SPARK_GRAFT_ONLY: restrict to these prefixes
+    only = [p for p in os.environ.get("GRAFT_ONLY", "").split(",") if p]
     names = sorted(n for n in oracle
-                   if not any(n.startswith(p) for p in excl))
+                   if not any(n.startswith(p) for p in excl)
+                   and (not only or any(n.startswith(p) for p in only)))
     for name in names:  # warm-up (OS page cache, duckdb readers)
         con.execute(oracle[name]).fetchall()
     samples = {n: [] for n in names}
