@@ -39,17 +39,27 @@ object LlmText extends QueryModule {
     // hash-shuffle on a 16-byte key; no text comparison ever happens.
     "d1_dedup_exact" -> Q(
       (s, dir) => {
-        val docs = t(s, dir, "documents")
+        import org.apache.spark.sql.expressions.Window
+        // Group-min via windows, not groupBy+self-join: the join form
+        // recomputes the text-heavy signature projection (normalize +
+        // split + sort + two md5s over the full body) once per branch —
+        // three full corpus scans. Here the signatures project ONCE,
+        // and everything after moves only (doc_id, lang, sig, bag_sig)
+        // ≈ 90 B/row through two hash exchanges — at 100 TB the parse
+        // cost dominates, so single-scan is the difference between one
+        // corpus read and three.
+        val sigs = t(s, dir, "documents")
           .withColumn("nrm", norm(col("text")))
-          .withColumn("sig", md5(col("nrm")))
-          .withColumn("bag_sig", md5(array_join(
-            array_sort(array_distinct(split(col("nrm"), " "))), " ")))
-        val bySig = docs.groupBy(col("sig"))
-          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("grp_n"))
-        val byBag = docs.groupBy(col("bag_sig"))
-          .agg(min(col("doc_id")).as("bag_keep_id"),
-            count(lit(1)).as("bag_grp_n"))
-        docs.join(bySig, "sig").join(byBag, "bag_sig")
+          .select(col("doc_id"), col("lang"),
+            md5(col("nrm")).as("sig"),
+            md5(array_join(
+              array_sort(array_distinct(split(col("nrm"), " "))), " "))
+              .as("bag_sig"))
+        sigs
+          .withColumn("keep_id",
+            min(col("doc_id")).over(Window.partitionBy(col("sig"))))
+          .withColumn("bag_keep_id",
+            min(col("doc_id")).over(Window.partitionBy(col("bag_sig"))))
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),
             sum(when(col("doc_id") === col("keep_id"), 1L).otherwise(0L))

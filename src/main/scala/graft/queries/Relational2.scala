@@ -264,8 +264,14 @@ object Relational2 extends QueryModule {
       (s, dir) => {
         val custrev = t(s, dir, "orders").groupBy(col("o_custkey"))
           .agg(dsum(col("o_totalprice")).as("rev"))
+        // the CTE is consumed twice (segment average + final filter),
+        // but needs no persist: the shared join+aggregate subtree is
+        // one Exchange, and Catalyst's exchange reuse already computes
+        // it once (measured at sf100: an explicit persist changed
+        // nothing — the residual cost is the 15M-group orders
+        // aggregate and final sort, not recomputation)
         val withSeg = custrev.join(t(s, dir, "customer"),
-          col("o_custkey") === col("c_custkey"))
+            col("o_custkey") === col("c_custkey"))
           .select(col("c_custkey"), col("c_mktsegment"), col("rev"))
         val segavg = withSeg.groupBy(col("c_mktsegment").as("seg"))
           .agg((sum(col("rev").cast(DecimalType(18, 2))).cast("double") /
