@@ -229,6 +229,11 @@ object Relational3 extends QueryModule {
             when(col("o_orderkey") === hotKey,
               sequence(lit(0L), lit(SALTS - 1L)))
               .otherwise(array(lit(0L)))))
+        // unhinted by measurement: a pinned shuffle_hash build of the
+        // dim measured the same as the sort-merge join within sf100
+        // noise (18.9 vs 16.5 s medians) — both sides are ~|orders|
+        // rows, so neither a broadcast nor a cheap hash build exists;
+        // the declarative form stays
         factAgg.join(dim,
             col("k") === col("o_orderkey") &&
               factAgg("salt") === dim("salt"))
