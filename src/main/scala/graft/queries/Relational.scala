@@ -433,9 +433,19 @@ object Relational extends QueryModule {
     // ─── q16: ROLLUP (grouping sets) ───
     "q16_grouping_sets" -> Q(
       (s, dir) => {
-        t(s, dir, "orders")
+        // pre-aggregate to the finest grouping BEFORE the rollup: the
+        // Expand operator multiplies its input by the number of
+        // grouping sets (3x here), so rolling up raw orders triples
+        // the corpus through the aggregate — rolling up the ~15-row
+        // (status, priority) pre-agg is free, and count/sum re-derive
+        // exactly as sums of the partials (decimal addition exact)
+        val pre = t(s, dir, "orders")
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("pn"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).as("pt"))
+        pre
           .rollup(col("o_orderstatus"), col("o_orderpriority"))
-          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .agg(sum(col("pn")).as("n"), sum(col("pt")).cast("double").as("total"))
           .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
             coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
             col("n"), col("total"))

@@ -163,9 +163,17 @@ object Relational4 extends QueryModule {
     // ─── q55: CUBE + grouping() marker (q16 covers ROLLUP) ───
     "q55_cube" -> Q(
       (s, dir) => {
+        // pre-aggregate to the finest grouping BEFORE the cube: Expand
+        // multiplies its input by the 4 grouping sets, so cubing raw
+        // orders pushes 4x the corpus through the aggregate — cubing
+        // the ~15-row (status, priority) pre-agg is free and sums of
+        // counts re-derive count(*) exactly. grouping() flags are
+        // computed by the cube itself, so they are unaffected.
         t(s, dir, "orders")
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("pn"))
           .cube(col("o_orderstatus"), col("o_orderpriority"))
-          .agg(count(lit(1)).as("n"),
+          .agg(sum(col("pn")).as("n"),
             grouping(col("o_orderstatus")).cast("long").as("g_status"),
             grouping(col("o_orderpriority")).cast("long").as("g_priority"))
           .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
