@@ -166,7 +166,22 @@ object Relational3 extends QueryModule {
       (s, dir) => {
         import s.implicits._
         val topk = new graft.functions.TopKAggregator(3).toColumn
+        // Salted native pre-reduction ahead of the typed path: the
+        // global top-3 of a nation is contained in the union of its
+        // per-salt top-3s, so a codegen'd window over (nation, salt)
+        // partitions shrinks the Aggregator's input from the whole
+        // corpus to ≤ 25·64·3 candidate rows — the typed encode
+        // (per-row serialization outside codegen) then touches ~5k
+        // rows instead of every customer. The Aggregator still owns
+        // the final bounded-state merge; salt fan-out scales with the
+        // corpus, and ties break identically on (acctbal desc,
+        // custkey) in both levels.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("c_nationkey"), pmod(col("c_custkey"), lit(64)))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
         t(s, dir, "customer")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
           .select(col("c_nationkey").cast("long"), col("c_acctbal"),
             col("c_custkey"))
           .as[(Long, Double, Long)]
