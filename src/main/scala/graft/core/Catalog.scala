@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, FloatType, NullType, NumericType, StructField, StructType}
 
 /** A directory of parquet files treated as a database — the Spark-first
   * re-expression of the reference's filesystem catalog
@@ -51,17 +51,24 @@ final class Catalog(val spark: SparkSession, val database: String) {
     * relations whose names carry spaces / dots / quotes (the case the
     * reference handles with its `quote()` double-quoting,
     * impl.py:182) register under a deterministic sanitized alias:
-    * odd characters become `_` and a hash of the original name is
-    * appended so distinct odd names can't collide. The physical path
-    * keeps the real name; ref()/source() templating resolves through
-    * this method, so models reference odd names transparently.
+    * odd characters become `_` and a 64-bit hash of the original name
+    * is appended, making distinct odd names collision-resistant (a
+    * 32-bit suffix would reach ~50% birthday-collision odds at ~77k
+    * odd names; 64 bits pushes that past 5 billion). A literal name
+    * that happens to end in the same 16-hex suffix as an alias can
+    * still collide — callers with fully adversarial names should quote
+    * them to word-ish forms upstream. The physical path keeps the real
+    * name; ref()/source() templating resolves through this method, so
+    * models reference odd names transparently.
     */
   def viewName(schema: String, table: String): String = {
     val raw = if (schema.isEmpty) table else s"${schema}__$table"
     if (raw.matches("[A-Za-z0-9_]+")) raw
     else {
-      val h = scala.util.hashing.MurmurHash3.stringHash(raw)
-      raw.replaceAll("[^A-Za-z0-9_]", "_") + f"_$h%08x"
+      val lo = scala.util.hashing.MurmurHash3.stringHash(raw)
+      val hi = scala.util.hashing.MurmurHash3.stringHash(raw, 0x9747b28c)
+      val h = (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+      raw.replaceAll("[^A-Za-z0-9_]", "_") + f"_$h%016x"
     }
   }
 
@@ -248,21 +255,38 @@ final class Catalog(val spark: SparkSession, val database: String) {
     }
   }
 
-  /** Cast the columns `a` and `b` share to their widest common type
-    * (Catalyst's own promotion lattice — exactly what a UNION would
-    * infer), leaving each side's private columns untouched. Fails
-    * loudly on genuinely incompatible drift (e.g. string vs array).
+  /** Cast the columns `a` and `b` share to their widest common type,
+    * leaving each side's private columns untouched. Fails loudly on
+    * genuinely incompatible drift (e.g. string vs array).
     * findWiderTypeForTwo, not findTightestCommonType: decimal
     * precision/scale drift (decimal(12,2) → decimal(18,2)) is the
     * primary case the reference's expand_target_column_types handles,
     * and the tightest-type lattice does not widen decimals at all.
+    * Widening is restricted to SAME-CLASS promotions, mirroring the
+    * reference's can_expand_to (string size, decimal precision —
+    * never across classes): Catalyst's full lattice would also accept
+    * int-vs-string (silently rewriting the stored column to string)
+    * and decimal-vs-double (silently rewriting exact money to lossy
+    * double); both must keep failing loudly instead.
     */
   private def widenTo(a: DataFrame, b: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.catalyst.analysis.TypeCoercion
+    def sameClass(x: DataType, y: DataType): Boolean = (x, y) match {
+      // an all-NULL untyped column takes the other side's type
+      case (NullType, _) | (_, NullType) => true
+      // exact decimal never silently degrades to binary floating point
+      case (_: DecimalType, FloatType | DoubleType) => false
+      case (FloatType | DoubleType, _: DecimalType) => false
+      // the numeric lattice (int→long, int→decimal, float→double, …)
+      case (_: NumericType, _: NumericType) => true
+      case _ => false
+    }
     val bTypes = b.schema.fields.map(f => f.name -> f.dataType).toMap
     val widened = a.schema.fields.flatMap { f =>
       bTypes.get(f.name).filter(_ != f.dataType).map { bt =>
-        val t = TypeCoercion.findWiderTypeForTwo(f.dataType, bt)
+        val t = (if (sameClass(f.dataType, bt))
+            TypeCoercion.findWiderTypeForTwo(f.dataType, bt)
+          else None)
           .getOrElse(throw new IllegalArgumentException(
             s"incremental schema drift on '${f.name}' is not widenable: " +
               s"${f.dataType.sql} vs ${bt.sql}"))

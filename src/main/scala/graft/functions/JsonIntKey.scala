@@ -28,14 +28,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Result contract (both paths, verified against each other in
   * JsonIntKeySpec): the key's value when it is an integral JSON number
-  * in long range; NULL for a missing key, a non-object or malformed
-  * document (validation always runs to the end — a payload that decays
-  * into garbage AFTER the key still yields NULL, like the reference's
-  * `json_extract_string` which parses the whole document), a
-  * non-integral / out-of-range number, or a non-number value; on
-  * duplicate keys the first occurrence wins. JSON strictness follows
-  * the spec: whitespace is space/tab/LF/CR only, numbers take no
-  * leading zeros, strings take no unescaped control characters.
+  * in long range, OR a JSON string whose (whitespace-trimmed,
+  * optionally signed) content is an integral in long range — matching
+  * the oracle's `json_extract_string` + cast-to-bigint and Spark's
+  * variant coercion, both of which read `{"k":"8"}` as 8; NULL for a
+  * missing key, a non-object or malformed document (validation always
+  * runs to the end — a payload that decays into garbage AFTER the key
+  * still yields NULL, like the reference's `json_extract_string` which
+  * parses the whole document), a non-integral / out-of-range number,
+  * or any other value (note a string like "8.5" yields NULL where a
+  * strict SQL cast would raise — NULL is the conservative side of that
+  * divergence). On duplicate keys the first occurrence wins. The key
+  * is compared by UTF-8 bytes, so non-ASCII keys match their unescaped
+  * occurrences correctly. JSON strictness follows the spec: whitespace
+  * is space/tab/LF/CR only, numbers take no leading zeros, strings
+  * take no unescaped control characters.
   */
 case class JsonIntKey(child: Expression, key: String)
     extends UnaryExpression {
@@ -54,13 +61,20 @@ case class JsonIntKey(child: Expression, key: String)
 
   override def nullable: Boolean = true
 
+  // UTF-8 bytes of the key, computed once — the scan compares raw
+  // bytes, so a char-by-char comparison would never match a multibyte
+  // key's unescaped occurrence
+  @transient private lazy val keyU8 = UTF8String.fromString(key)
+
   override def nullSafeEval(s: Any): Any =
-    JsonIntKey.extract(s.asInstanceOf[UTF8String], key)
+    JsonIntKey.extract(s.asInstanceOf[UTF8String], keyU8)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s => {
       val cls = JsonIntKey.getClass.getName.stripSuffix("$") + "$.MODULE$"
-      val keyRef = ctx.addReferenceObj("jsonKey", key, "java.lang.String")
+      val keyRef = ctx.addReferenceObj("jsonKey",
+        UTF8String.fromString(key),
+        "org.apache.spark.unsafe.types.UTF8String")
       val boxed = ctx.freshName("jk")
       s"""
          |Object $boxed = $cls.extract($s, $keyRef);
@@ -88,10 +102,14 @@ object JsonIntKey {
   // but validation must still run to the end of the document
   private val NotInt: java.lang.Long = null
 
+  /** String-key convenience overload (specs, interactive use). */
+  def extract(s: UTF8String, key: String): java.lang.Long =
+    extract(s, UTF8String.fromString(key))
+
   /** Whole-document flat scan; falls back to Jackson on the first
     * nested container or escape sequence. Boxed so NULL carries.
     */
-  def extract(s: UTF8String, key: String): java.lang.Long = {
+  def extract(s: UTF8String, key: UTF8String): java.lang.Long = {
     val n = s.numBytes()
     var i = skipWs(s, 0, n)
     if (i >= n || s.getByte(i) != '{') return null // not an object
@@ -106,7 +124,7 @@ object JsonIntKey {
       val ks = i + 1
       i = scanString(s, ks, n)
       if (i == -1) return null
-      if (i == -2) return jackson(s.toString, key)
+      if (i == -2) return jackson(s.toString, key.toString)
       val ke = i // exclusive; closing quote at i
       i = skipWs(s, i + 1, n)
       if (i >= n || s.getByte(i) != ':') return null
@@ -117,12 +135,16 @@ object JsonIntKey {
       val c = s.getByte(i)
       var v: java.lang.Long = NotInt
       if (c == '"') {
-        i = scanString(s, i + 1, n)
+        val vs = i + 1
+        i = scanString(s, vs, n)
         if (i == -1) return null
-        if (i == -2) return jackson(s.toString, key)
+        if (i == -2) return jackson(s.toString, key.toString)
+        // string value: the oracle's json_extract_string + cast (and
+        // variant coercion) read a quoted integral as its number
+        if (isKey) v = parseQuotedLong(s, vs, i)
         i += 1
       } else if (c == '{' || c == '[') {
-        return jackson(s.toString, key) // nested: not flat
+        return jackson(s.toString, key.toString) // nested: not flat
       } else if (c == 't') {
         if (!matchesLit(s, i, n, "true")) return null; i += 4
       } else if (c == 'f') {
@@ -180,15 +202,66 @@ object JsonIntKey {
     -1
   }
 
-  private def matchesKey(s: UTF8String, ks: Int, ke: Int, key: String): Boolean = {
-    if (ke - ks != key.length) return false
+  private def matchesKey(s: UTF8String, ks: Int, ke: Int,
+      key: UTF8String): Boolean = {
+    val kn = key.numBytes()
+    if (ke - ks != kn) return false
     var i = 0
-    while (i < key.length) {
-      if (s.getByte(ks + i) != key.charAt(i).toByte) return false
+    while (i < kn) {
+      if (s.getByte(ks + i) != key.getByte(i)) return false
       i += 1
     }
     true
   }
+
+  /** Parse a quoted value's body `[from, end)` as an optionally
+    * signed, whitespace-trimmed integral in long range (SQL
+    * string→bigint cast shape: leading zeros fine, no fraction or
+    * exponent); null when it is anything else. Only runs on the
+    * requested key's value, so non-integer string fields cost nothing.
+    */
+  private def parseQuotedLong(s: UTF8String, from0: Int,
+      end0: Int): java.lang.Long = {
+    var from = from0
+    var end = end0
+    while (from < end && isTrimWs(s.getByte(from))) from += 1
+    while (end > from && isTrimWs(s.getByte(end - 1))) end -= 1
+    if (from >= end) return null
+    var neg = false
+    val b0 = s.getByte(from)
+    if (b0 == '-' || b0 == '+') { neg = b0 == '-'; from += 1 }
+    if (from >= end) return null
+    var i = from
+    while (i < end) {
+      val b = s.getByte(i)
+      if (b < '0' || b > '9') return null
+      i += 1
+    }
+    var ds = from
+    while (ds < end - 1 && s.getByte(ds) == '0') ds += 1 // keep last digit
+    val nd = end - ds
+    if (nd > 19) return null
+    if (nd == 19) {
+      // textual magnitude check against Long.MAX/MIN
+      val limit = if (neg) "9223372036854775808" else "9223372036854775807"
+      var k = 0
+      while (k < 19) {
+        val d = s.getByte(ds + k)
+        val l = limit.charAt(k).toByte
+        if (d > l) return null
+        if (d < l) k = 19 else k += 1
+      }
+    }
+    var acc = 0L
+    i = ds
+    while (i < end) { acc = acc * 10 + (s.getByte(i) - '0'); i += 1 }
+    // -Long.MinValue's magnitude wraps to MinValue exactly, like
+    // parseLong below
+    java.lang.Long.valueOf(if (neg) -acc else acc)
+  }
+
+  private def isTrimWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r'
 
   private def matchesLit(s: UTF8String, from: Int, n: Int, lit: String): Boolean = {
     if (from + lit.length > n) return false
@@ -286,6 +359,10 @@ object JsonIntKey {
               result =
                 try java.lang.Long.valueOf(p.getLongValue)
                 catch { case _: Exception => null } // overflow
+            } else if (t == JsonToken.VALUE_STRING) {
+              // same quoted-integral coercion as the flat path
+              val u = UTF8String.fromString(p.getText)
+              result = parseQuotedLong(u, 0, u.numBytes())
             }
           }
           if (t == JsonToken.START_OBJECT || t == JsonToken.START_ARRAY) {

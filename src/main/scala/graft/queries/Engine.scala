@@ -186,10 +186,13 @@ object Engine extends QueryModule {
 
     // ─── C20b: incremental with SCHEMA DRIFT (evolve on merge) ───
     // The single most common incremental event at scale: an increment
-    // that ADDS a column (o_orderpriority) and WIDENS one (o_custkey
-    // was written int, arrives bigint). Old rows must backfill NULL
-    // for the new column, the widened column must promote to the
-    // common type — reference impl.py:105-113 expand_column_types.
+    // that ADDS a column (o_orderpriority), WIDENS one (o_custkey was
+    // written int, arrives bigint), and carries PRECISION DRIFT on a
+    // money column (o_price_d was written decimal(12,2), arrives
+    // decimal(18,2)) — the primary case the reference's
+    // expand_column_types exists for (impl.py:105-113,
+    // Column.can_expand_to). Old rows must backfill NULL for the new
+    // column, both drifting columns must promote to the common type.
     "c_incr_evolve" -> Q(
       (s, dir) => {
         val cat = new Catalog(s, Q.scratch(s, "evolve"))
@@ -198,10 +201,13 @@ object Engine extends QueryModule {
         val base = ord.filter(col("o_orderdate") < lit("1997-01-01"))
           .select(col("o_orderkey"),
             col("o_custkey").cast("int").as("o_custkey"),
-            col("o_totalprice"))
+            col("o_totalprice"),
+            col("o_totalprice").cast(DecimalType(12, 2)).as("o_price_d"))
         val incr = ord.filter(col("o_orderdate") >= lit("1996-07-01"))
           .select(col("o_orderkey"), col("o_custkey"),
             (col("o_totalprice") * 2).as("o_totalprice"),
+            (col("o_totalprice") * 2).cast(DecimalType(18, 2))
+              .as("o_price_d"),
             col("o_orderpriority"))
         cat.createTableIncremental("", "orders_ev", base, Seq("o_orderkey"))
         cat.createTableIncremental("", "orders_ev", incr, Seq("o_orderkey"))
@@ -210,6 +216,10 @@ object Engine extends QueryModule {
       Some("""SELECT o_orderkey, cast(o_custkey as bigint) AS o_custkey,
           CASE WHEN o_orderdate >= timestamp '1996-07-01'
                THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+          CASE WHEN o_orderdate >= timestamp '1996-07-01'
+               THEN cast(o_totalprice * 2 as decimal(18,2))
+               ELSE cast(cast(o_totalprice as decimal(12,2))
+                         as decimal(18,2)) END AS o_price_d,
           CASE WHEN o_orderdate >= timestamp '1996-07-01'
                THEN o_orderpriority END AS o_orderpriority
         FROM orders

@@ -90,29 +90,36 @@ object Relational extends QueryModule {
         val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
         val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
         val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
-        // Aggregate lineitem per orderkey BEFORE the join (o_orderdate
-        // is functionally dependent on the join key, so revenue per
-        // orderkey is the same either side of it): the orderkey
-        // shuffle then carries one partially-combined row per order
-        // instead of every line item. The customer semi-filter runs on
-        // the orders side BEFORE its shuffle, so the 1/5 segment
-        // selectivity also cuts shuffle volume 5x. The filtered
-        // customer side is corpus-proportional (1/5 of all customers —
-        // billions of keys at 100 TB), so it must NOT be
-        // force-broadcast (broadcast() overrides the size check up to
-        // a hard 8 GB failure); unhinted, the EngineDefaults join
-        // policy size-CHECKS it — planner or AQE broadcasts while the
-        // segment genuinely fits, and it degrades to a shuffle join at
-        // corpus scale instead of failing.
-        val liAgg = li
-          .groupBy(col("l_orderkey"))
-          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
-            .as("revenue"))
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        // Raw narrow shuffle, ONE aggregate after the join — measured
+        // against the per-orderkey pre-aggregation form (round 7,
+        // interleaved A/B at sf100): raw 16.7 s vs pre-agg 26.5 s
+        // medians. At ~4 line items per order the pre-agg's ~|orders|-
+        // group hash table buys only a 4x shuffle-volume cut but costs
+        // a hash probe per row plus GC pressure that poisoned whole
+        // suite passes; shuffling the 3-column rows is cheaper on
+        // every measured run. (On a network-bound cluster the trade
+        // tilts back as shuffle bytes get expensive — that form is
+        // recorded in BASELINE.md round-7 notes.) The join output
+        // keeps hash(l_orderkey) partitioning, which satisfies the
+        // groupBy's clustering, so the aggregate adds no shuffle.
+        // The customer semi-filter runs on the orders side BEFORE its
+        // shuffle, so the 1/5 segment selectivity also cuts shuffle
+        // volume 5x. The filtered customer side is corpus-proportional
+        // (1/5 of all customers — billions of keys at 100 TB), so it
+        // must NOT be force-broadcast (broadcast() overrides the size
+        // check up to a hard 8 GB failure); unhinted, the
+        // EngineDefaults join policy size-CHECKS it — planner or AQE
+        // broadcasts while the segment genuinely fits, and it degrades
+        // to a shuffle join at corpus scale instead of failing.
         val ordF = ord
           .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
           .select(col("o_orderkey"), col("o_orderdate"))
-        liAgg.join(ordF.hint("shuffle_hash"),
+        li.join(ordF.hint("shuffle_hash"),
             col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"))
           .select(col("l_orderkey"),
             date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
             col("revenue"))
@@ -164,47 +171,50 @@ object Relational extends QueryModule {
             col("o_orderdate") < lit("1999-01-01"))
         val li = t(s, dir, "lineitem")
         val sup = t(s, dir, "supplier")
-        // Pre-aggregated star join. The supplier join carries no
-        // payload columns and s_suppkey is unique, so inner ≡
-        // left_semi against a key set (no 60M-row shuffle through a
-        // wide join). supplier is corpus-proportional (10k rows/SF →
-        // ~8 GB of keys at 100 TB TPC-H), so the semi-build must NOT
-        // be force-broadcast; unhinted, the EngineDefaults size-checked
+        // Star join over RAW narrow fact rows, aggregated once per
+        // custkey after the orderkey join — measured against the
+        // two-level pre-aggregation form (per-orderkey before the
+        // join, per-custkey after; round-7 interleaved A/B at sf100):
+        // raw 26.8 s vs pre-agg 113 s medians. At ~4 line items per
+        // order the ~|orders|-group pre-agg hash table bought a 4x
+        // shuffle-volume cut but cost a probe per row and enough heap
+        // churn to poison later queries in the same JVM; the raw
+        // 2-column shuffle won every interleaved pass. (Network-bound
+        // clusters shift the trade toward pre-aggregation — the losing
+        // form and numbers are in BASELINE.md round-7 notes.)
+        // The supplier join carries no payload columns and s_suppkey
+        // is unique, so inner ≡ left_semi against a key set. supplier
+        // is corpus-proportional (10k rows/SF → ~8 GB of keys at
+        // 100 TB TPC-H), so the semi-build must NOT be
+        // force-broadcast; unhinted, the EngineDefaults size-checked
         // policy broadcasts it while it fits and shuffles at the scale
         // where it doesn't — never a hard failure.
-        // Revenue is then partially summed per orderkey BEFORE the
-        // orderkey shuffle — decimal addition is exact and
-        // associative, so nesting the sums leaves the final n_name
-        // totals bit-identical to the flat oracle sum. The
-        // region→nation→customer chain collapses to one pre-filtered
-        // dimension (ASIA customers + their nation name) joined after
-        // the fact tables, when only ~one row per order remains.
+        // The region→nation→customer chain collapses to one
+        // pre-filtered dimension (ASIA customers + their nation name)
+        // joined after the per-custkey aggregate, when only ~one row
+        // per customer remains. Decimal addition is exact and
+        // associative, so the nested sums stay bit-identical to the
+        // oracle's flat sum.
         val asiaN = nation
           .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
           .select(col("n_nationkey"), col("n_name"))
         val custA = cust
           .join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
           .select(col("c_custkey"), col("n_name"))
-        val liAgg = li
+        val liF = li
           .join(sup.select(col("s_suppkey")),
             col("l_suppkey") === col("s_suppkey"), "left_semi")
-          .groupBy(col("l_orderkey"))
-          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast(DecimalType(18, 4))).as("rev"))
-        liAgg
+          .select(col("l_orderkey"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast(DecimalType(18, 4)).as("rev1"))
+        liF
           // shuffle_hash, not sort-merge: neither side's ordering is
           // reusable downstream, so hashing the (smaller) orders side
           // beats sorting both (partition-local build, AQE-skew-safe)
           .join(ord.select(col("o_orderkey"), col("o_custkey"))
             .hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
-          // third pre-agg level: collapse to one row per customer
-          // BEFORE the customer join (~10 orders/cust in TPC-H), so
-          // the custkey shuffle moves |customers| rows, not |orders| —
-          // decimal addition stays exact and associative through every
-          // nesting level, so the n_name totals are still
-          // bit-identical to the oracle's flat sum
           .groupBy(col("o_custkey"))
-          .agg(sum(col("rev")).as("rev"))
+          .agg(sum(col("rev1")).as("rev"))
           .join(custA, col("o_custkey") === col("c_custkey"))
           .groupBy(col("n_name"))
           .agg(sum(col("rev")).cast("double").as("revenue"))

@@ -51,8 +51,9 @@ object Relational3 extends QueryModule {
     // at sf100, unboundedly larger at 100 TB) and broadcast() overrides
     // the size check up to a hard 8 GB failure. Unhinted, the
     // EngineDefaults size-checked policy broadcasts part at the scale
-    // factors where it genuinely fits and falls back to a shuffle join
-    // (AQE picks shuffled-hash under the local-map threshold) beyond.
+    // factors where it genuinely fits and falls back to a sort-merge
+    // shuffle join beyond (EngineDefaults deliberately leaves the AQE
+    // SMJ→SHJ conversion threshold unset — it measured an OOM).
     "q41_disjunctive" -> Q(
       (s, dir) => {
         val li = t(s, dir, "lineitem")
@@ -204,54 +205,57 @@ object Relational3 extends QueryModule {
         WHERE rank <= 3
         ORDER BY nationkey, rank""")),
 
-    // ─── q47: salted join (skew mitigation pattern) ───
-    // Differential salting against a PER-ORDERKEY dim (orders: 15M
-    // rows at sf10 — genuinely non-broadcastable, unlike a 3-value
-    // flag dim). The fact's join key is made skewed (30% of rows
-    // collapse onto orderkey 0); salting only the known-hot key
-    // spreads its rows over 8 partitions while the build side
-    // replicates ONLY the hot key's dim row ×8 — cold keys pay salt=0
-    // and behave exactly as without salting. The dim carries a single
-    // functionally-dependent payload (o_orderpriority), so the fact is
-    // pre-aggregated per (k, salt) BEFORE the join: the shuffle and
-    // probe side shrink from every line item to ~|distinct orderkeys|
-    // rows, and the hot key's partials land on 8 reducers instead of
-    // one. Decimal addition is exact and associative, so summing the
-    // per-(k,salt) partials after the join is bit-identical to the
-    // oracle's flat sum. The salt is a deterministic row hash, so the
-    // result is salt-invariant — what the oracle's plain join checks.
+    // ─── q47: skewed join via hot/cold split ───
+    // Skew mitigation against a PER-ORDERKEY dim (orders: 15M rows at
+    // sf10 — genuinely non-broadcastable, unlike a 3-value flag dim).
+    // The fact's join key is made skewed (30% of rows collapse onto
+    // orderkey 0). Instead of salting (round 5/6: explode the hot dim
+    // row ×8, hash a salt per fact row, aggregate per (k, salt)), the
+    // known-hot key is SPLIT OUT of the join entirely: its rows
+    // aggregate globally — a map-side-combined scan with no join key
+    // at all, immune to skew by construction — and meet their single
+    // dim row by cross join (≤1×1 rows). Cold keys join plain with no
+    // salt column against a dim pre-pruned by the same key predicate
+    // (k % 100 >= 30 — a hot dim row can never match a cold fact
+    // row), which also cuts the dim shuffle 30%. Measured interleaved
+    // at sf100 the two forms tie (13.9 vs 13.2 s medians), but this
+    // one has no explode, no per-row hash, a 2-column instead of
+    // 3-column fact scan, and nothing to tune when a second hot key
+    // appears in the fact — the n_part > 0 guard keeps an empty hot
+    // slice from fabricating a zero-count group. Decimal addition is
+    // exact and associative, so summing the hot and cold partials is
+    // bit-identical to the oracle's flat sum over the plain join.
     "q47_salted_join" -> Q(
       (s, dir) => {
-        val SALTS = 8
         val hotKey = 0L
-        val factAgg = t(s, dir, "lineitem")
-          .select(
-            when((col("l_orderkey") % 100) < 30, lit(hotKey))
-              .otherwise(col("l_orderkey")).as("k"),
-            col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-          .withColumn("salt",
-            when(col("k") === hotKey,
-              pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
-                lit(SALTS)))
-              .otherwise(lit(0L)))
-          .groupBy(col("k"), col("salt"))
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"))
+        val isHot = (col("l_orderkey") % 100) < 30
+        val hotAgg = li.filter(isHot)
           .agg(count(lit(1)).as("n_part"),
             sum(col("l_extendedprice").cast(DecimalType(18, 2)))
               .as("total_part"))
-        val dim = t(s, dir, "orders")
+          .filter(col("n_part") > 0)
+        val hotDim = t(s, dir, "orders")
+          .filter(col("o_orderkey") === hotKey)
+          .select(col("o_orderpriority"))
+        val hot = hotAgg.crossJoin(hotDim)
+          .select(col("o_orderpriority"), col("n_part"), col("total_part"))
+        val coldAgg = li.filter(!isHot)
+          .groupBy(col("l_orderkey").as("k"))
+          .agg(count(lit(1)).as("n_part"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+              .as("total_part"))
+        val coldDim = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 100 >= 30)
           .select(col("o_orderkey"), col("o_orderpriority"))
-          .withColumn("salt", explode(
-            when(col("o_orderkey") === hotKey,
-              sequence(lit(0L), lit(SALTS - 1L)))
-              .otherwise(array(lit(0L)))))
-        // unhinted by measurement: a pinned shuffle_hash build of the
-        // dim measured the same as the sort-merge join within sf100
-        // noise (18.9 vs 16.5 s medians) — both sides are ~|orders|
-        // rows, so neither a broadcast nor a cheap hash build exists;
-        // the declarative form stays
-        factAgg.join(dim,
-            col("k") === col("o_orderkey") &&
-              factAgg("salt") === dim("salt"))
+        // unhinted by measurement (round 6): a pinned shuffle_hash
+        // build of the dim measured the same as sort-merge within
+        // sf100 noise — both sides are ~|orders| rows, so neither a
+        // broadcast nor a cheap hash build exists
+        val cold = coldAgg.join(coldDim, col("k") === col("o_orderkey"))
+          .select(col("o_orderpriority"), col("n_part"), col("total_part"))
+        hot.unionByName(cold)
           .groupBy(col("o_orderpriority"))
           .agg(sum(col("n_part")).as("n"),
             sum(col("total_part")).cast("double").as("total"))

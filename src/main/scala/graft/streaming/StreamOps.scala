@@ -177,45 +177,59 @@ object StreamOps extends QueryModule {
     // survivor-invariant: the distinct-signature count, replayed as
     // batch SQL by the oracle.
     "q59_stream_dedup" -> Q(
-      (s, dir) => {
-        val schema = s.read.parquet(s"$dir/documents.parquet").schema
-        val docs = s.readStream
-          .schema(schema)
-          .option("pathGlobFilter", "documents.parquet")
-          .parquet(dir)
-        val keyed = docs
-          .withColumn("nrm", lower(trim(regexp_replace(col("text"), "\\s+", " "))))
-          .withColumn("bag_sig", md5(array_join(
-            array_sort(array_distinct(split(col("nrm"), " "))), " ")))
-          // +1: a doc at exactly epoch 0 would equal the initial
-          // watermark and be dropped as late before dedup ever sees it
-          .withColumn("ts", timestamp_micros((col("doc_id") + 1L) * 1000000L))
-          // narrow BEFORE the stateful shuffle: dedup needs the
-          // signature and the event time, not the document body
-          .select(col("bag_sig"), col("ts"))
-          .withWatermark("ts", "1 hour")
-        val deduped = keyed.dropDuplicatesWithinWatermark("bag_sig")
-        val qname = "graft_q59_sink"
-        s.streams.active.filter(_.name == qname).foreach(_.stop())
-        val query = deduped.writeStream
-          .outputMode("append")
-          .format("memory")
-          .queryName(qname)
-          .start()
-        try query.processAllAvailable() finally query.stop()
-        // distinct in the sink, not count(*): WithinWatermark only
-        // suppresses duplicates whose event times fall inside the gap,
-        // so a multi-file corpus (or a trigger limit) replayed over
-        // several micro-batches may legitimately re-emit a far-apart
-        // duplicate after its key's state was evicted — the sink-side
-        // distinct keeps the gate's invariant independent of how the
-        // source happens to batch
-        s.table(qname).agg(count_distinct(col("bag_sig")).as("n_unique"))
-      },
+      (s, dir) => dedupDistinctSignatures(
+        s, dir, s"$dir/documents.parquet", "documents.parquet",
+        maxFilesPerTrigger = None, queryName = "graft_q59_sink"),
       Some("""SELECT count(distinct md5(array_to_string(list_sort(
             list_distinct(string_split(
               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))),
             ' '))) AS n_unique
         FROM documents"""))
   )
+
+  /** q59's pipeline, runnable against any documents directory and any
+    * micro-batch granularity (`maxFilesPerTrigger = Some(1)` forces
+    * one file per batch). Exposed so StreamDedupSpec can prove the
+    * gate's invariant under genuine MULTI-batch replay — the single
+    * static file the gate drains is otherwise one micro-batch, which
+    * would leave the state-eviction path untested.
+    */
+  def dedupDistinctSignatures(s: SparkSession, dir: String,
+      schemaFrom: String, glob: String, maxFilesPerTrigger: Option[Int],
+      queryName: String): DataFrame = {
+    val schema = s.read.parquet(schemaFrom).schema
+    val reader = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val docs = reader.parquet(dir)
+    val keyed = docs
+      .withColumn("nrm", lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+      .withColumn("bag_sig", md5(array_join(
+        array_sort(array_distinct(split(col("nrm"), " "))), " ")))
+      // +1: a doc at exactly epoch 0 would equal the initial
+      // watermark and be dropped as late before dedup ever sees it
+      .withColumn("ts", timestamp_micros((col("doc_id") + 1L) * 1000000L))
+      // narrow BEFORE the stateful shuffle: dedup needs the
+      // signature and the event time, not the document body
+      .select(col("bag_sig"), col("ts"))
+      .withWatermark("ts", "1 hour")
+    val deduped = keyed.dropDuplicatesWithinWatermark("bag_sig")
+    s.streams.active.filter(_.name == queryName).foreach(_.stop())
+    val query = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    // distinct in the sink, not count(*): WithinWatermark only
+    // suppresses duplicates whose event times fall inside the gap,
+    // so a multi-file corpus (or a trigger limit) replayed over
+    // several micro-batches may legitimately re-emit a far-apart
+    // duplicate after its key's state was evicted — the sink-side
+    // distinct keeps the invariant independent of how the source
+    // happens to batch (proven multi-batch in StreamDedupSpec)
+    s.table(queryName).agg(count_distinct(col("bag_sig")).as("n_unique"))
+  }
 }

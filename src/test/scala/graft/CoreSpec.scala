@@ -230,6 +230,31 @@ class CatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not widenable"))
   }
 
+  test("incremental schema drift: cross-class drift fails loudly") {
+    // Catalyst's full lattice would silently rewrite these (int+string
+    // → string, decimal+double → lossy double); the reference's
+    // expand_column_types only widens within a class, so graft must
+    // keep the loud failure
+    import spark.implicits._
+    val catA = freshCatalog("evolve_xclass_a")
+    catA.createTableIncremental("", "t", Seq((1, 10)).toDF("k", "v"), Seq("k"))
+    val eA = intercept[IllegalArgumentException] {
+      catA.createTableIncremental("", "t",
+        Seq((2, "oops")).toDF("k", "v"), Seq("k"))
+    }
+    assert(eA.getMessage.contains("not widenable"), eA.getMessage)
+
+    val catB = freshCatalog("evolve_xclass_b")
+    catB.createTableIncremental("", "t",
+      Seq((1, "10.25")).toDF("k", "v")
+        .select(col("k"), col("v").cast("decimal(12,2)")), Seq("k"))
+    val eB = intercept[IllegalArgumentException] {
+      catB.createTableIncremental("", "t",
+        Seq((2, 20.5)).toDF("k", "v"), Seq("k"))
+    }
+    assert(eB.getMessage.contains("not widenable"), eB.getMessage)
+  }
+
   test("truncateRelation keeps schema and registration, drops rows") {
     val cat = freshCatalog("trunc")
     import spark.implicits._

@@ -38,9 +38,23 @@ class JsonIntKeySpec extends AnyFunSuite {
     ("""{"k":12.5}""", None),
     ("""{"k":1.0}""", None),
     ("""{"k":1e3}""", None),
-    ("""{"k":"8"}""", None),
     ("""{"k":true}""", None),
     ("""{"k":null}""", None),
+    // quoted integrals coerce (json_extract_string + cast semantics)
+    ("""{"k":"8"}""", Some(8L)),
+    ("""{"k":"-12"}""", Some(-12L)),
+    ("""{"k":"+7"}""", Some(7L)),
+    ("""{"k":" 8 "}""", Some(8L)), // cast trims whitespace
+    ("""{"k":"008"}""", Some(8L)), // cast takes leading zeros
+    ("""{"k":"9223372036854775807"}""", Some(Long.MaxValue)),
+    ("""{"k":"9223372036854775808"}""", None),
+    ("""{"k":"-9223372036854775808"}""", Some(Long.MinValue)),
+    ("""{"k":"8.5"}""", None), // non-integral string stays NULL
+    ("""{"k":"8.0"}""", None),
+    ("""{"k":""}""", None),
+    ("""{"k":"-"}""", None),
+    ("""{"k":"x8"}""", None),
+    ("""{"a":"9","k":1}""", Some(1L)), // non-key strings never parse
     // long-range boundaries
     ("""{"k":9223372036854775807}""", Some(Long.MaxValue)),
     ("""{"k":9223372036854775808}""", None),
@@ -68,7 +82,9 @@ class JsonIntKeySpec extends AnyFunSuite {
     ("""{"a":"x\"y","k":9}""", Some(9L)),
     ("""{"k":1,"a":"A"}""", Some(1L)),
     ("""{"a":[1],"k":2,zzz}""", None), // malformed after k, deep path
-    ("""{"a":{"k":1},"k":2,"k":3}""", Some(2L)) // dup via Jackson
+    ("""{"a":{"k":1},"k":2,"k":3}""", Some(2L)), // dup via Jackson
+    ("""{"a":[1],"k":"9"}""", Some(9L)), // quoted coercion, deep path
+    ("{\"k\":\"\\u0038\"}", Some(8L)) // escaped digits via Jackson
   )
 
   test("interpreted eval matches the contract on every adversarial case") {
@@ -92,6 +108,18 @@ class JsonIntKeySpec extends AnyFunSuite {
       .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
     val want = cases.map(_._2) :+ None
     assert(got.toSeq == want, "codegen results diverge from expected")
+  }
+
+  test("non-ASCII keys match by UTF-8 bytes on both paths") {
+    // flat path: unescaped multibyte key
+    assert(Option(JsonIntKey.extract(
+      UTF8String.fromString("""{"é":7,"k":1}"""), "é")) == Some(7L))
+    // Jackson path (nested sibling forces the bail): escaped form of
+    // the same key must also match
+    assert(Option(JsonIntKey.extract(
+      UTF8String.fromString("""{"a":[1],"é":7}"""), "é")) == Some(7L))
+    assert(Option(JsonIntKey.extract(
+      UTF8String.fromString("""{"é":7}"""), "e")).isEmpty)
   }
 
   test("agrees with the variant path on the events corpus") {

@@ -110,17 +110,37 @@ class PlanSpec extends AnyFunSuite {
       s"expected a single (reused) range exchange, found $planted independent ones:\n$p")
   }
 
-  test("q3/q5 pre-aggregate the fact side below the orderkey join") {
-    // The eager-aggregation rewrite (Catalyst has no such rule): the
-    // partial HashAggregate on l_orderkey must sit BELOW the join, so
-    // the shuffle carries one combined row per order, not every line.
+  test("q3/q5 shuffle raw narrow fact rows (no aggregate below the orderkey join)") {
+    // Round-7 interleaved A/B at sf100: the per-orderkey
+    // pre-aggregation (one combined row per order through the join)
+    // measured SLOWER than shuffling raw narrow line items — at ~4
+    // rows per group the ~|orders|-group hash table costs more than
+    // the 4x shuffle-volume cut saves (q3 26.5 → 16.7 s, q5 113 →
+    // 26.8 s medians). The load-bearing plan properties are: a
+    // shuffle join over the fact, NO aggregate below it, and a fact
+    // scan pruned to the join/aggregate columns.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
     for (q <- Seq("q3_join_agg", "q5_multijoin")) {
+      val df = SparkEntry.queries(q)(spark, TestSpark.SF)
+      val orderkeyJoins = df.queryExecution.optimizedPlan.collect {
+        case j: Join
+            if j.condition.exists(_.references.exists(_.name == "l_orderkey")) =>
+          j
+      }
+      assert(orderkeyJoins.nonEmpty, s"$q: no orderkey join in plan")
+      orderkeyJoins.foreach { j =>
+        assert(j.collect { case a: Aggregate => a }.isEmpty,
+          s"$q: aggregate below the orderkey join — the pre-agg form " +
+            "measured slower at sf100 (round-7 A/B); see BASELINE.md")
+      }
       val p = planOf(q)
-      val aggIdx = p.indexOf("partial_sum")
-      val joinIdx = math.max(p.indexOf("SortMergeJoin"),
-        p.indexOf("ShuffledHashJoin"))
-      assert(aggIdx >= 0, s"$q: no partial aggregation in plan:\n$p")
-      assert(joinIdx >= 0, s"$q: no shuffle join in plan:\n$p")
+      assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+        s"$q: no shuffle join in plan:\n$p")
+      val liScan = p.linesIterator
+        .filter(l => l.contains("ReadSchema") && l.contains("l_orderkey"))
+        .mkString("\n")
+      assert(!liScan.contains("l_comment") && !liScan.contains("l_partkey"),
+        s"$q: fact scan reads more than needed:\n$liScan")
     }
   }
 
@@ -135,32 +155,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("is_high"), s"priority not pre-folded:\n$p")
   }
 
-  test("q47 salting spreads the hot key and replicates only the hot dim row") {
+  test("q47 splits the hot key out of the join (no salt machinery)") {
     import org.apache.spark.sql.functions._
-    // the mechanism under test, restated: the hot key's probe rows
-    // must fan out over all 8 salt values (so no single shuffle
-    // partition owns the skew) while every cold key keeps salt 0 (so
-    // the build side replicates exactly the ONE hot dim row x8 and
-    // cold keys pay nothing — whole-dim replication was the round-4
-    // mistake this formulation replaces)
-    val li = spark.read.parquet(s"${TestSpark.SF}/lineitem.parquet")
-      .select(
-        when((col("l_orderkey") % 100) < 30, lit(0L))
-          .otherwise(col("l_orderkey")).as("k"),
-        col("l_orderkey"), col("l_linenumber"))
-      .withColumn("salt",
-        when(col("k") === 0L,
-          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(8)))
-          .otherwise(lit(0L)))
-    val hotSalts = li.filter(col("k") === 0L)
-      .select(col("salt")).distinct().count()
-    val coldSalts = li.filter(col("k") =!= 0L)
-      .select(col("salt")).distinct().count()
-    assert(hotSalts == 8, s"hot key must spread over 8 salts, got $hotSalts")
-    assert(coldSalts == 1, s"cold keys must keep salt 0, got $coldSalts")
-    // and the gate's result must be salt-invariant vs the plain join
-    val got = SparkEntry.queries("q47_salted_join")(spark, TestSpark.SF)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // the mechanism under test: the known-hot key's rows never enter
+    // the keyed join at all — they aggregate globally (skew-immune by
+    // construction) and meet their one dim row by cross join — so the
+    // plan must carry no salt column and no explode-replication of
+    // dim rows (the round-5/6 salting this replaces), and the result
+    // must equal the plain join's
+    val df = SparkEntry.queries("q47_salted_join")(spark, TestSpark.SF)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("salt"), s"salt column survived the hot/cold split:\n$p")
+    assert(!p.toLowerCase.contains("explode"),
+      s"dim-row explode survived the hot/cold split:\n$p")
+    // the hot slice joins by a 1-row cross join, not a keyed shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"),
+      s"expected the hot slice's 1-row cross join:\n$p")
+    // and the gate's result must match the plain (skew-suffering) join
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
     val plain = spark.read.parquet(s"${TestSpark.SF}/lineitem.parquet")
       .select(when((col("l_orderkey") % 100) < 30, lit(0L))
         .otherwise(col("l_orderkey")).as("k"))
@@ -168,7 +180,7 @@ class PlanSpec extends AnyFunSuite {
         col("k") === col("o_orderkey"))
       .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    assert(got == plain, s"salted result differs from plain join: $got vs $plain")
+    assert(got == plain, s"hot/cold result differs from plain join: $got vs $plain")
   }
 
   test("q36 range join stays an equi-join (no nested-loop)") {

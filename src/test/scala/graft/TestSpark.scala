@@ -16,5 +16,7 @@ object TestSpark {
     s
   }
 
-  val SF = "/root/testdata/sf0.001"
+  // overridable so the suite can run against any data root (the sf
+  // dirs referenced by specs all derive from this pin)
+  val SF = sys.env.getOrElse("GRAFT_TESTDATA_SF", "/root/testdata/sf0.001")
 }
