@@ -335,8 +335,11 @@ object Relational extends QueryModule {
     "q12_case_when" -> Q(
       (s, dir) => {
         // The priority string never needs to shuffle: fold it to a
-        // 0/1 flag before the join, and hash the orders side instead
-        // of sorting both (nothing downstream reuses a sort order).
+        // 0/1 flag before the join, and hash instead of sorting both
+        // sides (nothing downstream reuses a sort order). The hint
+        // sits on the FILTERED lineitem side so the hash relation is
+        // built from the smaller input (~1 year of shipments vs all
+        // orders).
         val ord = t(s, dir, "orders")
           .select(col("o_orderkey"),
             when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
@@ -345,7 +348,7 @@ object Relational extends QueryModule {
           .filter(col("l_shipdate") >= lit("1996-01-01") &&
             col("l_shipdate") < lit("1997-01-01"))
           .select(col("l_orderkey"), col("l_linestatus"))
-        li.join(ord.hint("shuffle_hash"),
+        li.hint("shuffle_hash").join(ord,
             col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("l_linestatus"))
           .agg(sum(col("is_high")).as("high_line_count"),

@@ -494,16 +494,33 @@ object Relational2 extends QueryModule {
     // The oracle states the range predicate directly; the Spark plan
     // derives the single candidate bucket (round(l_quantity) = p_size)
     // so the join is an equi-join — the 100 TB-safe shape (no BNLJ).
+    // The fact side also pre-aggregates per (bucket, EXACT quantity)
+    // before the many-to-many bucket join: the join payload depends
+    // only on l_quantity, so equal quantities are interchangeable, and
+    // the join replicates one combined row per distinct value instead
+    // of every line item. Unlike the q3/q5 pre-agg this removes (~4
+    // rows/group there), this one contracts a join EXPLOSION — round-7
+    // audit measured 8,085 fact rows fanning out to 32.3M joined rows
+    // (each row matches every same-size part); grouping first cuts
+    // that fan-out by the duplicate factor (~160x here, 4.9 -> 0.9 s
+    // at sf100) and degrades gracefully to no reduction when the range
+    // attribute is truly continuous. n_matches/qty re-expand from the
+    // carried count; decimal × bigint stays exact, so the totals are
+    // bit-identical to the flat oracle sum.
     "q36_range_join" -> Q(
       (s, dir) => {
         val parts = t(s, dir, "part").filter(col("p_partkey") % 100 === 0)
-        val li = t(s, dir, "lineitem").filter(col("l_orderkey") <= 2000)
-          .withColumn("bucket", floor(col("l_quantity") + lit(0.5)))
-        li.join(parts, col("bucket") === col("p_size"))
+        val liQ = t(s, dir, "lineitem").filter(col("l_orderkey") <= 2000)
+          .groupBy(floor(col("l_quantity") + lit(0.5)).as("bucket"),
+            col("l_quantity"))
+          .agg(count(lit(1)).as("cnt"))
+        liQ.join(parts, col("bucket") === col("p_size"))
           .filter(col("l_quantity") >= col("p_size") - 0.5 &&
             col("l_quantity") <= col("p_size") + 0.5)
           .groupBy(col("p_partkey"))
-          .agg(count(lit(1)).as("n_matches"), dsum(col("l_quantity")).as("qty"))
+          .agg(sum(col("cnt")).as("n_matches"),
+            sum(col("l_quantity").cast(DecimalType(18, 2)) * col("cnt"))
+              .cast("double").as("qty"))
           .orderBy(col("p_partkey"))
       },
       Some(s"""SELECT p_partkey, count(*) AS n_matches,
