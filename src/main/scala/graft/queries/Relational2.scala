@@ -270,7 +270,12 @@ object Relational2 extends QueryModule {
         // it once (measured at sf100: an explicit persist changed
         // nothing — the residual cost is the 15M-group orders
         // aggregate and final sort, not recomputation)
-        val withSeg = custrev.join(t(s, dir, "customer"),
+        // shuffle_hash, not sort-merge: custrev comes out of the
+        // per-custkey aggregate already hash-partitioned on the join
+        // key, so hashing the customer side avoids sorting both 15M-row
+        // sides for an ordering nothing downstream reuses
+        val withSeg = custrev.join(
+            t(s, dir, "customer").hint("shuffle_hash"),
             col("o_custkey") === col("c_custkey"))
           .select(col("c_custkey"), col("c_mktsegment"), col("rev"))
         val segavg = withSeg.groupBy(col("c_mktsegment").as("seg"))
