@@ -32,4 +32,7 @@ object EngineDefaults {
   def apply(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    // hermetic-FS test target (reference connections.py `mem://`):
+    // catalogs over mem://ns/db run fully in-JVM — see MemFileSystem
+    .config("spark.hadoop.fs.mem.impl", classOf[MemFileSystem].getName)
 }
