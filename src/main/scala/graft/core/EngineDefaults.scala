@@ -32,6 +32,10 @@ object EngineDefaults {
   def apply(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    // testdata timestamps are naive (no isAdjustedToUTC); read them as
+    // session-tz TIMESTAMP (UTC everywhere in graft), not TIMESTAMP_NTZ,
+    // so streaming watermarks and the DuckDB oracle see identical values
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // hermetic-FS test target (reference connections.py `mem://`):
     // catalogs over mem://ns/db run fully in-JVM — see MemFileSystem
     .config("spark.hadoop.fs.mem.impl", classOf[MemFileSystem].getName)

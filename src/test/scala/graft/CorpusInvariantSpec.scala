@@ -32,4 +32,16 @@ class CorpusInvariantSpec extends AnyFunSuite {
           "the byte-offset oracles (m2/d8/t5) assume ASCII non-null text")
     }
   }
+
+  test("events.ts reads as session-tz TIMESTAMP under engine defaults") {
+    // The generated events timestamps are parquet-naive (no
+    // isAdjustedToUTC); EngineDefaults disables NTZ inference so they
+    // read as TIMESTAMP in the UTC session — the type streaming
+    // watermarks and the DuckDB oracle agree on. A regenerated corpus
+    // or a lost conf surfaces here, not as a cryptic oracle mismatch.
+    val ts = spark.read.parquet(s"${TestSpark.SF}/events.parquet")
+      .schema("ts").dataType
+    assert(ts == org.apache.spark.sql.types.TimestampType,
+      s"events.ts read as $ts — NTZ inference is on, or testdata changed")
+  }
 }
