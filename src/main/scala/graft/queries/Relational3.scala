@@ -49,15 +49,35 @@ object Relational3 extends QueryModule {
     // ─── q41: disjunctive predicate groups (TPC-H Q19 shape) ───
     // No forced broadcast of part: it is corpus-proportional (20M rows
     // at sf100, unboundedly larger at 100 TB) and broadcast() overrides
-    // the size check up to a hard 8 GB failure. Unhinted, the
-    // EngineDefaults size-checked policy broadcasts part at the scale
-    // factors where it genuinely fits and falls back to a sort-merge
-    // shuffle join beyond (EngineDefaults deliberately leaves the AQE
-    // SMJ→SHJ conversion threshold unset — it measured an OOM).
+    // the size check up to a hard 8 GB failure. Instead, each side
+    // carries its IMPLIED single-side disjunction (the combined
+    // predicate restricted to that side's columns — a sound weakening
+    // Catalyst cannot derive across the join). The part-side
+    // disjunction keeps ~5% of part, which is what makes the
+    // size-checked path actually fire at scale. Catalyst estimates a
+    // Filter at its child's size (no CBO stats on raw parquet), so the
+    // planner would still see "600 MB at sf100" and plan a sort-merge
+    // — paying the full 600M-row fact shuffle before AQE's runtime
+    // stats could convert the join. Materializing the pruned dim
+    // (cache + count, one bounded part scan) replaces the guess with
+    // the TRUE cached size; the unhinted size check then plans the
+    // broadcast statically and the fact side never shuffles at all.
+    // A corpus where the pruned dim outgrows the threshold degrades
+    // back to the shuffle join — the decision stays size-checked, not
+    // forced. The full mixed predicate still runs post-join; the
+    // pre-filters only shrink what reaches it.
     "q41_disjunctive" -> Q(
       (s, dir) => {
         val li = t(s, dir, "lineitem")
+          .filter(col("l_quantity").between(1, 50))
         val part = t(s, dir, "part")
+          .filter(
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 15)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(10, 30)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(20, 50)))
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+          .cache()
+        part.count() // materialize: the join below plans on true size
         li.join(part, col("l_partkey") === col("p_partkey"))
           .filter(
             (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
@@ -159,40 +179,23 @@ object Relational3 extends QueryModule {
         ) ON o_orderkey = bo_orderkey
         ORDER BY o_orderkey""")),
 
-    // ─── q46: per-group top-k via a typed mergeable Aggregator ───
-    // Partial buffers carry at most k pairs per group, so the
-    // aggregation ships k rows per group per partition — unlike the
-    // window formulation (the oracle), which sorts whole partitions.
+    // ─── q46: per-group top-k via a native TypedImperativeAggregate ───
+    // ObjectHashAggregate with a real PARTIAL mode: every map task
+    // reduces its slice of the corpus to ≤ k pairs per group before
+    // the shuffle, so only |groups|·k tiny buffers per partition cross
+    // the wire — no window (whole-partition sort), no salt level, no
+    // per-row encoder decode (rounds 5-6 paid one or the other; the
+    // native update reads the two fields off the unsafe row).
     "q46_topk_agg" -> Q(
       (s, dir) => {
-        import s.implicits._
-        val topk = new graft.functions.TopKAggregator(3).toColumn
-        // Salted native pre-reduction ahead of the typed path: the
-        // global top-3 of a nation is contained in the union of its
-        // per-salt top-3s, so a codegen'd window over (nation, salt)
-        // partitions shrinks the Aggregator's input from the whole
-        // corpus to ≤ 25·64·3 candidate rows — the typed encode
-        // (per-row serialization outside codegen) then touches ~5k
-        // rows instead of every customer. The Aggregator still owns
-        // the final bounded-state merge; salt fan-out scales with the
-        // corpus, and ties break identically on (acctbal desc,
-        // custkey) in both levels.
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("c_nationkey"), pmod(col("c_custkey"), lit(64)))
-          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        import graft.functions.TopKIdsByScore.topkIds
         t(s, dir, "customer")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .select(col("c_nationkey").cast("long"), col("c_acctbal"),
-            col("c_custkey"))
-          .as[(Long, Double, Long)]
-          .groupByKey(_._1)
-          .mapValues(r => (r._2, r._3))
-          .agg(topk)
-          .flatMap { case (nk, ids) =>
-            ids.zipWithIndex.map { case (id, i) => (nk, id, i + 1L) }
-          }
-          .toDF("nationkey", "custkey", "rank")
+          .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+          .agg(topkIds(col("c_acctbal"), col("c_custkey"), 3).as("ids"))
+          .select(col("nationkey"),
+            posexplode(col("ids")).as(Seq("pos", "custkey")))
+          .select(col("nationkey"), col("custkey"),
+            (col("pos") + 1).cast("long").as("rank"))
           .orderBy(col("nationkey"), col("rank"))
       },
       Some("""SELECT cast(c_nationkey as bigint) AS nationkey,

@@ -60,6 +60,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q41 joins the fact against a MATERIALIZED pruned dim, unshuffled") {
+    // the cache+count materialization is what lets the planner see the
+    // pruned dim's true size and plan the broadcast statically — the
+    // fact side must not shuffle on the join key
+    val df = SparkEntry.queries("q41_disjunctive")(spark, TestSpark.SF)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"q41's pruned part side is not materialized:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected a broadcast join:\n$p")
+    assert(!p.contains("hashpartitioning(l_partkey"),
+      s"q41 must not shuffle the fact side on the join key:\n$p")
+  }
+
   test("q1 aggregates partially before the exchange (map-side combine)") {
     val p = planOf("q1_agg")
     assert(p.contains("partial_sum") || p.contains("HashAggregate"),
