@@ -108,12 +108,18 @@ object Relational extends QueryModule {
         // volume 5x. The filtered customer side is corpus-proportional
         // (1/5 of all customers — billions of keys at 100 TB), so it
         // must NOT be force-broadcast (broadcast() overrides the size
-        // check up to a hard 8 GB failure); unhinted, the
-        // EngineDefaults join policy size-CHECKS it — planner or AQE
-        // broadcasts while the segment genuinely fits, and it degrades
-        // to a shuffle join at corpus scale instead of failing.
+        // check up to a hard 8 GB failure). Its key set is
+        // cache+count-materialized (one bounded customer scan) so the
+        // size check sees the TRUE ~8 B/key footprint instead of
+        // Catalyst's no-CBO filter estimate (= full customer size):
+        // the semi then plans as a static broadcast and orders skips
+        // its semi shuffle entirely, degrading back to the shuffle
+        // semi at the corpus scale where the key set outgrows the
+        // threshold.
+        val custKeys = cust.select(col("c_custkey")).cache()
+        custKeys.count() // materialize: the semi below plans on true size
         val ordF = ord
-          .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+          .join(custKeys, col("o_custkey") === col("c_custkey"), "left_semi")
           .select(col("o_orderkey"), col("o_orderdate"))
         li.join(ordF.hint("shuffle_hash"),
             col("l_orderkey") === col("o_orderkey"))
@@ -190,17 +196,28 @@ object Relational extends QueryModule {
         // policy broadcasts it while it fits and shuffles at the scale
         // where it doesn't — never a hard failure.
         // The region→nation→customer chain collapses to one
-        // pre-filtered dimension (ASIA customers + their nation name)
-        // joined after the per-custkey aggregate, when only ~one row
-        // per customer remains. Decimal addition is exact and
-        // associative, so the nested sums stay bit-identical to the
-        // oracle's flat sum.
+        // pre-filtered dimension (ASIA customers + their nation name),
+        // cache+count-materialized: the TRUE ~1/5-of-customer size
+        // replaces Catalyst's no-CBO estimate (= full customer scan),
+        // so its key set broadcast-SEMI-filters orders BEFORE the big
+        // orderkey join — the join build, its output, and the
+        // per-custkey aggregate all shrink by the ASIA selectivity —
+        // and the post-aggregate nation join broadcasts the same
+        // materialized dim. Both joins degrade to shuffles at the
+        // corpus scale where the dim outgrows the threshold. Decimal
+        // addition is exact and associative, so the nested sums stay
+        // bit-identical to the oracle's flat sum.
         val asiaN = nation
           .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
           .select(col("n_nationkey"), col("n_name"))
         val custA = cust
           .join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
           .select(col("c_custkey"), col("n_name"))
+          .cache()
+        custA.count() // materialize: joins below plan on true size
+        val ordA = ord.select(col("o_orderkey"), col("o_custkey"))
+          .join(custA.select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_semi")
         val liF = li
           .join(sup.select(col("s_suppkey")),
             col("l_suppkey") === col("s_suppkey"), "left_semi")
@@ -211,8 +228,8 @@ object Relational extends QueryModule {
           // shuffle_hash, not sort-merge: neither side's ordering is
           // reusable downstream, so hashing the (smaller) orders side
           // beats sorting both (partition-local build, AQE-skew-safe)
-          .join(ord.select(col("o_orderkey"), col("o_custkey"))
-            .hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+          .join(ordA.hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_custkey"))
           .agg(sum(col("rev1")).as("rev"))
           .join(custA, col("o_custkey") === col("c_custkey"))
