@@ -102,6 +102,63 @@ object LlmPipeline extends QueryModule {
         WHERE k.sig NOT IN (SELECT sig FROM corpus_sigs)
         ORDER BY k.doc_id""")),
 
+    // ─── d9: benchmark decontamination (n-gram overlap) ───
+    // Flag training documents sharing any 5-gram with a held-out
+    // benchmark set — the eval-contamination check real pipelines run
+    // before training, at n-gram (not whole-document) granularity,
+    // which d8's exact signatures cannot see. The benchmark here is a
+    // deterministic corpus slice (doc_id % 97 == 0). Shingles are a
+    // bounded per-row transform (no explode fan-out beyond ~one row
+    // per token — linear in corpus size), and the overlap is a plain
+    // equi-join on the shingle: the benchmark side is
+    // corpus-proportional, so it is NOT force-broadcast; the
+    // size-checked policy broadcasts it while it fits and degrades to
+    // a hash-shuffle join at scale. At 100 TB the join key would be a
+    // 64-bit shingle hash instead of the string — the string form is
+    // kept because both engines then compare bit-identical keys.
+    "d9_contamination" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("words",
+            split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "))
+        val sh = docs.filter(size(col("words")) >= 5)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("words")) - 4),
+              i => concat_ws(" ", slice(col("words"), i, lit(5))))).as("g"))
+        val bench = sh.filter(col("doc_id") % 97 === 0)
+          .select(col("g")).distinct()
+        val cnt = sh.filter(col("doc_id") % 97 =!= 0)
+          .join(bench, Seq("g"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cont"))
+        docs.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
+          .join(cnt, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("n_cont"), lit(0L)).as("n_cont"),
+            (coalesce(col("n_cont"), lit(0L)) > 0).as("contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (
+          SELECT doc_id,
+            string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+              ' ') AS words
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            unnest(list_transform(range(1, len(words) - 3),
+              i -> array_to_string(words[i:i+4], ' '))) AS g
+          FROM w WHERE len(words) >= 5),
+        bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+        cnt AS (
+          SELECT doc_id, count(*) AS n_cont
+          FROM sh JOIN bench USING (g)
+          WHERE doc_id % 97 <> 0
+          GROUP BY doc_id)
+        SELECT w.doc_id, coalesce(n_cont, 0) AS n_cont,
+          coalesce(n_cont, 0) > 0 AS contaminated
+        FROM w LEFT JOIN cnt ON w.doc_id = cnt.doc_id
+        WHERE w.doc_id % 97 <> 0
+        ORDER BY w.doc_id""")),
+
     // ─── t7: stratified sampling (deterministic per-language fraction) ───
     // Keep ceil(10%) of every language, chosen by md5-hash order — a
     // portable, seedless shuffle both engines reproduce byte-for-byte

@@ -296,6 +296,62 @@ object LlmText extends QueryModule {
         FROM documents
         ORDER BY doc_id""")),
 
+    // ─── t8: repetition-based quality filter (Gopher-style) ───
+    // Per-document duplicate-word and duplicate-bigram fractions — the
+    // repetition signals large-scale curation pipelines gate on
+    // (excessively repetitive documents are low-quality training
+    // data). Everything is a bounded per-row array computation inside
+    // one projection — bigrams come from transform(sequence(...)) over
+    // the word array, not an explode — so there is no shuffle and at
+    // 100 TB the operator runs at scan speed like t1-t3. The two
+    // ratios are one IEEE divide + subtract on exact integer counts in
+    // both engines, so the oracle compare is bit-identical.
+    "t8_repetition" -> Q(
+      (s, dir) => {
+        t(s, dir, "documents")
+          .withColumn("words", split(norm(col("text")), " "))
+          .withColumn("bigrams",
+            when(size(col("words")) >= 2,
+              transform(sequence(lit(0), size(col("words")) - 2),
+                i => concat(element_at(col("words"), i + 1), lit(" "),
+                  element_at(col("words"), i + 2))))
+              .otherwise(array().cast("array<string>")))
+          .select(col("doc_id"),
+            size(col("words")).cast("long").as("n_words"),
+            (lit(1.0) - size(array_distinct(col("words"))).cast("double") /
+              size(col("words"))).as("dup_word_frac"),
+            when(size(col("bigrams")) > 0,
+              lit(1.0) - size(array_distinct(col("bigrams"))).cast("double") /
+                size(col("bigrams")))
+              .otherwise(lit(0.0)).as("dup_bigram_frac"))
+          .withColumn("keep",
+            col("dup_word_frac") < 0.9 && col("dup_bigram_frac") < 0.75)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH base AS (
+          SELECT doc_id, string_split($normSql, ' ') AS words
+          FROM documents),
+        big AS (
+          SELECT doc_id, words,
+            CASE WHEN len(words) >= 2 THEN
+              list_transform(range(1, len(words)),
+                i -> words[i] || ' ' || words[i + 1])
+            ELSE [] END AS bigrams
+          FROM base)
+        SELECT doc_id,
+          len(words) AS n_words,
+          1.0 - cast(len(list_distinct(words)) as double) / len(words)
+            AS dup_word_frac,
+          CASE WHEN len(bigrams) > 0 THEN
+            1.0 - cast(len(list_distinct(bigrams)) as double) / len(bigrams)
+          ELSE 0.0 END AS dup_bigram_frac,
+          1.0 - cast(len(list_distinct(words)) as double) / len(words) < 0.9
+            AND (CASE WHEN len(bigrams) > 0 THEN
+              1.0 - cast(len(list_distinct(bigrams)) as double) / len(bigrams)
+            ELSE 0.0 END) < 0.75 AS keep
+        FROM big
+        ORDER BY doc_id""")),
+
     // ─── t4: document fingerprint (polynomial rolling hash) ───
     // Per-word md5-derived 32-bit values folded left with
     // acc = (acc * 31 + h) mod 1e9+7 — engine-agnostic, deterministic,
