@@ -188,6 +188,87 @@ object LlmPipeline extends QueryModule {
           FROM documents)
         SELECT doc_id, lang FROM ranked
         WHERE rn <= ceil(n * 0.1)
-        ORDER BY lang, doc_id"""))
+        ORDER BY lang, doc_id""")),
+
+    // ─── t9: per-source document cap ───
+    // Cap every source/domain at the K best documents (quality proxy:
+    // n_chars desc, doc_id tiebreak) — the per-domain cap real corpus
+    // pipelines apply so no single crawl domain dominates the training
+    // mixture. Runs on the native TopKIdsByScore aggregate
+    // (ObjectHashAggregate, real PARTIAL mode): each map task reduces
+    // its slice to ≤ K (score, id) pairs per source before the
+    // shuffle, so at 100 TB only |sources|·K tiny buffers cross the
+    // wire — no per-source window sort, and a pathologically hot
+    // domain costs K entries per map partition, not a skewed sort
+    // partition.
+    "t9_domain_cap" -> Q(
+      (s, dir) => {
+        import graft.functions.TopKIdsByScore.topkIds
+        t(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(topkIds(col("n_chars").cast("double"), col("doc_id"), 10)
+            .as("ids"))
+          .select(col("source"), posexplode(col("ids")).as(Seq("pos", "doc_id")))
+          .select(col("source"), col("doc_id"),
+            (col("pos") + 1).cast("long").as("rank"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some("""SELECT source, doc_id, rank FROM (
+          SELECT source, doc_id,
+            row_number() OVER (PARTITION BY source
+                               ORDER BY n_chars DESC, doc_id) AS rank
+          FROM documents)
+        WHERE rank <= 10
+        ORDER BY source, rank""")),
+
+    // ─── t10: unigram-frequency rarity score (perplexity proxy) ───
+    // Score each document by the mean corpus frequency of its tokens,
+    // normalized by corpus size — the cheap stand-in for an LM
+    // perplexity filter (docs whose vocabulary is mostly corpus-rare
+    // tokens are disproportionately OCR noise / gibberish). Two
+    // passes: (1) the term-frequency table — vocabulary-sized, i.e.
+    // sublinear in the corpus (Heaps' law), so the size-checked policy
+    // broadcasts it to the token join while it fits and degrades to a
+    // hash join beyond; (2) one per-doc aggregate over the joined
+    // tokens. The token explode is ≤ one row per token — linear, no
+    // fan-out. Replicating the corpus K× scales every wf and the
+    // total by K, so the score is replication-invariant (the same doc
+    // scores the same at every sf). All intermediate sums are exact
+    // BIGINTs; the single final division of two exact integers is
+    // IEEE-rounded identically in both engines, so the double compares
+    // bit-exact.
+    "t10_rarity" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))),
+            " ")).as("w"))
+        val wf = toks.groupBy(col("w")).agg(count(lit(1)).as("wf"))
+        val total = toks.count()
+        toks.join(wf, Seq("w"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"), sum(col("wf")).as("sum_wf"))
+          .select(col("doc_id"), col("n_tok"), col("sum_wf"),
+            (col("sum_wf").cast("double") /
+              (col("n_tok") * lit(total)).cast("double")).as("score"))
+          .withColumn("keep", col("score") > 0.0333)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id,
+            unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ',
+              'g'))), ' ')) AS w
+          FROM documents),
+        wf AS (SELECT w, count(*) AS wf FROM toks GROUP BY w),
+        total AS (SELECT count(*) AS n FROM toks)
+        SELECT doc_id, count(*) AS n_tok,
+          cast(sum(wf) as bigint) AS sum_wf,
+          cast(sum(wf) as double)
+            / cast(count(*) * (SELECT n FROM total) as double) AS score,
+          cast(sum(wf) as double)
+            / cast(count(*) * (SELECT n FROM total) as double) > 0.0333 AS keep
+        FROM toks JOIN wf USING (w)
+        GROUP BY doc_id
+        ORDER BY doc_id"""))
   )
 }
