@@ -646,6 +646,97 @@ object LlmSim extends QueryModule {
             col("rank").cast("long").as("rank"))
           .orderBy(col("query_id"), col("rank"))
       },
+      None),
+
+    // ─── d11: SemDeDup — cluster-then-prune semantic dedup (rows-only;
+    // injected-copy recovery asserted in SemDedupSpec) ───
+    // The Abbas et al. 2023 recipe the big curation pipelines run:
+    // k-means cluster the embedding space, then look for semantic
+    // duplicates (cosine > eps) only WITHIN a cluster, keeping one
+    // representative per duplicate group. Differs from d5/d5b (pair
+    // *listing*) in that the output is the pruned corpus itself.
+    //
+    // Scale design, stage by stage:
+    //   1. exact collapse: byte-identical vectors keep only their
+    //      min-id copy (one hash shuffle on the array).
+    //   2. quantizer: seeded spherical k-means on an absolutely
+    //      bounded sample ([[trainCentroids]] — only k×dim aggregates
+    //      reach the driver). k is fixed here; at corpus scale k grows
+    //      ∝ n / target-cell-size (SemDeDup's own knob), which keeps
+    //      every stage below linear-times-constant.
+    //   3. candidates: each vector joins its 2 nearest cells (IVF
+    //      multi-assignment, same trick as s3 — a near-dup pair split
+    //      by a cell boundary still meets in one of the 2×2 cells);
+    //      within a cell, members sort by cosine-to-centroid and only
+    //      W=16 sorted neighbors pair up — near-identical vectors have
+    //      near-identical centroid-cosines, so true dups are adjacent
+    //      and the pair volume is ≤ cells·|cell|·W — linear in n, never
+    //      quadratic (the d2/d4 sorted-neighborhood bound).
+    //   4. verdict: exact decimal-grid cosine on candidates only;
+    //      deterministic keep rule — a vector is dropped iff some
+    //      lower-id vector within its neighborhood is near-identical
+    //      (drop the larger id of every dup pair).
+    "d11_semdedup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val EPS = 0.99
+        val W = 16
+        val e0 = t(s, dir, "embeddings")
+        // deterministic injection (same scheme as d5b): perturbed
+        // copies of the first 50 vectors — cosine ≈ 0.9999 to their
+        // originals — must all be pruned, and only they may be.
+        val injected = e0.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            expr("""transform(embedding,
+                 (x, i) -> cast(x + 0.001d * sin(cast(vec_id as double) * 31 + i)
+                   as float))""").as("embedding"))
+        val corpus = e0.select(col("vec_id"), col("embedding"))
+          .unionByName(injected)
+        // 1. exact collapse (k byte-identical copies are k-1 drops here,
+        //    never k²/2 pairs downstream)
+        val reps = corpus.groupBy(col("embedding"))
+          .agg(min(col("vec_id")).as("vec_id"))
+          .select(col("vec_id"), col("embedding"))
+        // 2. bounded-sample quantizer (shared machinery with s3)
+        val centroids = trainCentroids(s,
+          e0.filter(col("vec_id") < 5000)
+            .select(col("vec_id"), col("embedding")), k = 16, iters = 3)
+          .toDF("cent_id", "cent_v")
+        // 3. 2-nearest-cell assignment + sorted-neighborhood pairing
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cent_dot").desc, col("cent_id"))
+        val assigned = reps.join(broadcast(centroids))
+          .withColumn("cent_dot",
+            dotDec(col("embedding"), col("cent_v")) /
+              sqrt(dotDec(col("embedding"), col("embedding"))))
+          .withColumn("cent_rank", row_number().over(wAssign))
+          .filter(col("cent_rank") <= 2)
+          .select(col("cent_id"), col("vec_id"), col("embedding"),
+            col("cent_dot"))
+        val wCell = Window.partitionBy(col("cent_id"))
+          .orderBy(col("cent_dot").desc, col("vec_id"))
+        val ranked = assigned.withColumn("pos", row_number().over(wCell))
+        val pairs = ranked.as("x").join(ranked.as("y"),
+            col("x.cent_id") === col("y.cent_id") &&
+              col("y.pos") > col("x.pos") &&
+              col("y.pos") <= col("x.pos") + W &&
+              col("x.vec_id") =!= col("y.vec_id"))
+          .select(
+            least(col("x.vec_id"), col("y.vec_id")).as("a"),
+            greatest(col("x.vec_id"), col("y.vec_id")).as("b"),
+            col("x.embedding").as("av"), col("y.embedding").as("bv"))
+        // 4. exact verdict on candidates only; drop the larger id
+        val drops = pairs
+          .withColumn("cosine",
+            dotDec(col("av"), col("bv")) /
+              (sqrt(dotDec(col("av"), col("av"))) *
+                sqrt(dotDec(col("bv"), col("bv")))))
+          .filter(col("cosine") > EPS)
+          .select(col("b").as("vec_id")).distinct()
+        reps.join(drops, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"))
+          .orderBy(col("vec_id"))
+      },
       None)
   )
 }

@@ -16,7 +16,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
     // rows-only by design: engine-specific hashing / approximation
     assert(noOracle == Set("q27b_approx_countd", "d2_dedup_minhash",
       "d4_dedup_simhash", "d5b_embed_neardup_lsh", "s2_ann_lsh",
-      "s3_ann_ivf"))
+      "s3_ann_ivf", "d11_semdedup"))
   }
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
@@ -95,6 +95,30 @@ class NearDupSpec extends AnyFunSuite {
     assert(pairs == expected,
       s"missing: ${(expected -- pairs).take(5)}, spurious: ${(pairs -- expected).take(5)}")
     assert(got.forall(_._3 > 0.99), "recovered pairs must be near-identical")
+  }
+}
+
+/** d11 injects 50 perturbed near-copies (cosine ≈ 0.9999, larger ids)
+  * into the corpus and must prune exactly them: every injected copy is
+  * semantically redundant with its original, and on this
+  * no-natural-near-dup corpus nothing else may be dropped — the
+  * surviving set is precisely the original exact-dedup representatives.
+  */
+class SemDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("d11 prunes all injected semantic copies and nothing else") {
+    val survivors = SparkEntry.queries("d11_semdedup")(spark, TestSpark.SF)
+      .collect().map(_.getLong(0)).toSet
+    val expected = spark.read.parquet(s"${TestSpark.SF}/embeddings.parquet")
+      .groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id"))
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val spuriousDrops = expected -- survivors
+    val injectedSurvivors = survivors.filter(_ >= 1000000L)
+    assert(injectedSurvivors.isEmpty,
+      s"injected copies survived the prune: ${injectedSurvivors.take(5)}")
+    assert(spuriousDrops.isEmpty,
+      s"originals dropped without a semantic duplicate: ${spuriousDrops.take(5)}")
   }
 }
 
