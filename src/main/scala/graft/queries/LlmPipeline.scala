@@ -269,6 +269,58 @@ object LlmPipeline extends QueryModule {
             / cast(count(*) * (SELECT n FROM total) as double) > 0.0333 AS keep
         FROM toks JOIN wf USING (w)
         GROUP BY doc_id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ─── t12: mixture re-weighting planner ───
+    // Given per-source token counts, compute the sampling rate each
+    // source needs to hit a uniform target mixture (the domain-
+    // rebalancing step before training: weight = target share /
+    // corpus share, capped at 1.0 — over-represented crawl domains
+    // are downsampled, under-represented ones pass through whole and
+    // the gap is closed by epochs, not upsampling). One linear token
+    // count, one |sources|-row aggregate; the totals join is a
+    // broadcast of a single row. All counts stay exact BIGINTs; the
+    // shares/weights are IEEE divides of exact integers, so the
+    // oracle compare is bit-identical. At 100 TB this output *is* the
+    // plan t7-style hash-threshold sampling executes per stratum.
+    "t12_mix_weights" -> Q(
+      (s, dir) => {
+        val per = t(s, dir, "documents")
+          .select(col("source"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("ntok"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tok_sum"))
+        val tot = per.agg(sum(col("tok_sum")).as("total"),
+          count(lit(1)).as("ns"))
+        per.join(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("tok_sum"),
+            (col("tok_sum").cast("double") / col("total").cast("double"))
+              .as("share"),
+            ((lit(1.0) / col("ns").cast("double")) /
+              (col("tok_sum").cast("double") / col("total").cast("double")))
+              .as("weight"))
+          .withColumn("sample_rate", least(lit(1.0), col("weight")))
+          .orderBy(col("source"))
+      },
+      Some("""WITH toks AS (
+          SELECT source,
+            len(string_split_regex(trim(text), '\s+')) AS ntok
+          FROM documents),
+        per AS (
+          SELECT source, count(*) AS n_docs,
+            cast(sum(ntok) as bigint) AS tok_sum
+          FROM toks GROUP BY source),
+        tot AS (
+          SELECT cast(sum(tok_sum) as bigint) AS total, count(*) AS ns
+          FROM per)
+        SELECT source, n_docs, tok_sum,
+          cast(tok_sum as double) / cast(total as double) AS share,
+          (1.0 / cast(ns as double))
+            / (cast(tok_sum as double) / cast(total as double)) AS weight,
+          least(1.0, (1.0 / cast(ns as double))
+            / (cast(tok_sum as double) / cast(total as double)))
+            AS sample_rate
+        FROM per, tot
+        ORDER BY source"""))
   )
 }

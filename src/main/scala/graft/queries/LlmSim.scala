@@ -737,6 +737,74 @@ object LlmSim extends QueryModule {
           .select(col("vec_id"))
           .orderBy(col("vec_id"))
       },
+      None),
+
+    // ─── s4: IVF-bucketed kNN graph (rows-only; recall vs brute force
+    // asserted in KnnGraphSpec) ───
+    // The all-vectors top-k neighbor graph that SemDeDup-style
+    // clustering, graph-based ANN indexes (NSW seeding), and
+    // diversity-aware sampling all start from. Differs from s2/s3
+    // (fixed query set → corpus) in that EVERY vector is a query, so
+    // candidate generation must avoid the n² pair space on the corpus
+    // itself:
+    //   1. exact collapse — byte-identical vectors keep one
+    //      representative (the d5b/d2 ordering).
+    //   2. IVF cells — every rep joins its 3 nearest of 16 centroids
+    //      (seeded spherical k-means on an absolutely bounded sample,
+    //      shared [[trainCentroids]] machinery; 3-way multi-assignment
+    //      is the graph analogue of s3's nprobe — both pair sides
+    //      probe, so recall needs the extra cell). Candidates are
+    //      pairs within a cell: volume = Σ|cell|² over cells·assign² —
+    //      since k grows ∝ n at corpus scale (the IVF sizing rule,
+    //      |cell| held constant), that is LINEAR in n, not quadratic.
+    //   3. id-pair dedup BEFORE vectors re-join: pairs sharing both
+    //      cells dedup on 16 bytes of ids, never on the 256-byte
+    //      arrays; exact decimal-grid cosine runs once per pair side.
+    //   4. per-vector top-3 by a bounded window (candidates per
+    //      vector ≤ assign²·|cell|, a constant at scale).
+    "s4_knn_graph" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val K = 3
+        val e = t(s, dir, "embeddings")
+        val reps = e.groupBy(col("embedding"))
+          .agg(min(col("vec_id")).as("vec_id"))
+          .select(col("vec_id"), col("embedding"))
+        val centroids = trainCentroids(s,
+          e.filter(col("vec_id") < 5000)
+            .select(col("vec_id"), col("embedding")), k = 16, iters = 3)
+          .toDF("cent_id", "cent_v")
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cent_dot").desc, col("cent_id"))
+        val assigned = reps.join(broadcast(centroids))
+          .withColumn("cent_dot",
+            dotDec(col("embedding"), col("cent_v")) /
+              sqrt(dotDec(col("embedding"), col("embedding"))))
+          .withColumn("cent_rank", row_number().over(wAssign))
+          .filter(col("cent_rank") <= 3)
+          .select(col("cent_id"), col("vec_id"))
+        val candIds = assigned.as("x").join(assigned.as("y"),
+            col("x.cent_id") === col("y.cent_id") &&
+              col("x.vec_id") =!= col("y.vec_id"))
+          .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr_id"))
+          .distinct()
+        val scored = candIds
+          .join(reps.select(col("vec_id"), col("embedding").as("xv")),
+            Seq("vec_id"))
+          .join(reps.select(col("vec_id").as("nbr_id"),
+            col("embedding").as("yv")), Seq("nbr_id"))
+          .select(col("vec_id"), col("nbr_id"),
+            round(dotDec(col("xv"), col("yv")) /
+              (sqrt(dotDec(col("xv"), col("xv"))) *
+                sqrt(dotDec(col("yv"), col("yv")))), 12).as("cosine"))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cosine").desc, col("nbr_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K)
+          .select(col("vec_id"), col("nbr_id"), col("cosine"),
+            col("rank").cast("long").as("rank"))
+          .orderBy(col("vec_id"), col("rank"))
+      },
       None)
   )
 }

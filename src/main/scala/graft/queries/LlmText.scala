@@ -352,6 +352,120 @@ object LlmText extends QueryModule {
         FROM big
         ORDER BY doc_id""")),
 
+    // ─── d7: exact span dedup (C4 / Lee et al. substring dedup at
+    // fixed-window granularity) ───
+    // d1 removes whole-document dups; this flags *partial* overlap —
+    // spans of 8 consecutive words that occur 2+ times anywhere in the
+    // corpus (boilerplate headers, license blurbs, templated
+    // paragraphs). Spans are non-overlapping windows, so the explode
+    // emits ≤ n_tokens/8 rows — strictly linear, no shingle fan-out.
+    // Two hash shuffles: the corpus-wide span-frequency aggregate and
+    // the per-doc rollup. The span-frequency side is corpus-
+    // proportional, so the join is size-checked, never force-broadcast
+    // (same policy as t10's term-frequency join). At 100 TB the join
+    // key becomes a 64-bit span hash; the string key is kept here so
+    // both engines compare identical keys bit-for-bit.
+    "d7_span_dedup" -> Q(
+      (s, dir) => {
+        val sp = t(s, dir, "documents")
+          .withColumn("words", split(norm(col("text")), " "))
+          .filter(size(col("words")) >= 8)
+          .select(col("doc_id"),
+            explode(transform(
+              sequence(lit(0), (size(col("words")) / 8).cast("int") - 1),
+              j => concat_ws(" ", slice(col("words"), j * 8 + 1, lit(8)))))
+              .as("span"))
+        val cnt = sp.groupBy(col("span")).agg(count(lit(1)).as("c"))
+        sp.join(cnt, Seq("span"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          .select(col("doc_id"), col("n_spans"), col("n_dup"),
+            (col("n_dup").cast("double") / col("n_spans").cast("double"))
+              .as("dup_frac"))
+          .withColumn("keep", col("dup_frac") < 0.5)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH w AS (
+          SELECT doc_id, string_split($normSql, ' ') AS words
+          FROM documents),
+        sp AS (
+          SELECT doc_id,
+            unnest(list_transform(range(0, len(words) // 8),
+              j -> array_to_string(words[j * 8 + 1 : j * 8 + 8], ' ')))
+              AS span
+          FROM w WHERE len(words) >= 8),
+        cnt AS (SELECT span, count(*) AS c FROM sp GROUP BY span)
+        SELECT doc_id, count(*) AS n_spans,
+          cast(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) as bigint) AS n_dup,
+          cast(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) as double)
+            / cast(count(*) as double) AS dup_frac,
+          cast(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) as double)
+            / cast(count(*) as double) < 0.5 AS keep
+        FROM sp JOIN cnt USING (span)
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // ─── t11: Gopher-style quality rules ───
+    // The Rae et al. 2021 document-level heuristics: word-count
+    // bounds, mean word length in a sane band, and a minimum stopword
+    // presence. Everything is one codegen'd projection per row — the
+    // character sum falls out of the normalized length arithmetically
+    // (len(nrm) = sum(word lens) + (n-1) separators), so no per-word
+    // fold runs at all; the operator is scan-speed like t1-t3. The
+    // two ratios are single IEEE divides of exact integer counts, so
+    // the oracle compare is bit-identical.
+    "t11_gopher" -> Q(
+      (s, dir) => {
+        val stops = Seq("the", "a", "of", "and", "to", "in")
+        t(s, dir, "documents")
+          .withColumn("nrm", norm(col("text")))
+          .withColumn("words", split(col("nrm"), " "))
+          .select(col("doc_id"),
+            size(col("words")).cast("long").as("n_words"),
+            (length(col("nrm")) - size(col("words")) + 1).cast("long")
+              .as("n_chars_words"),
+            size(filter(col("words"), w => w.isInCollection(stops)))
+              .cast("long").as("stop_count"),
+            array_max(transform(col("words"), w => length(w)))
+              .cast("long").as("max_word_len"))
+          .select(col("doc_id"), col("n_words"), col("stop_count"),
+            col("max_word_len"),
+            (col("n_chars_words").cast("double") /
+              col("n_words").cast("double")).as("mean_word_len"),
+            (col("stop_count").cast("double") /
+              col("n_words").cast("double")).as("stop_frac"))
+          .withColumn("keep",
+            col("n_words") >= 5 && col("n_words") <= 100000 &&
+              col("mean_word_len") >= 2.0 && col("mean_word_len") <= 12.0 &&
+              col("stop_count") >= 2)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH base AS (
+          SELECT doc_id, $normSql AS nrm,
+            string_split($normSql, ' ') AS words
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+            len(words) AS n_words,
+            length(nrm) - len(words) + 1 AS n_chars_words,
+            len(list_filter(words,
+              w -> w IN ('the', 'a', 'of', 'and', 'to', 'in')))
+              AS stop_count,
+            list_max(list_transform(words, w -> length(w)))
+              AS max_word_len
+          FROM base)
+        SELECT doc_id, n_words, stop_count, max_word_len,
+          cast(n_chars_words as double) / cast(n_words as double)
+            AS mean_word_len,
+          cast(stop_count as double) / cast(n_words as double) AS stop_frac,
+          n_words >= 5 AND n_words <= 100000
+            AND cast(n_chars_words as double) / cast(n_words as double)
+              BETWEEN 2.0 AND 12.0
+            AND stop_count >= 2 AS keep
+        FROM m
+        ORDER BY doc_id""")),
+
     // ─── t4: document fingerprint (polynomial rolling hash) ───
     // Per-word md5-derived 32-bit values folded left with
     // acc = (acc * 31 + h) mod 1e9+7 — engine-agnostic, deterministic,
