@@ -28,7 +28,13 @@ object Multimodal extends QueryModule {
   final case class Frame(doc_id: Long, frame_idx: Long, f_bytes: Long,
       checksum: Long, ds_checksum: Long)
 
+  /** One overlapping analysis window of an audio-shaped payload. */
+  final case class Chunk(doc_id: Long, chunk_idx: Long, start_off: Long,
+      energy: Long, peak: Long, silent: Boolean)
+
   private val FrameBytes = 32
+  private val ChunkBytes = 64
+  private val ChunkHop = 48
 
   /** STUB decode: a real deployment would decode `payload` with an
     * image/audio codec here. This stands in with deterministic
@@ -120,6 +126,66 @@ object Multimodal extends QueryModule {
             i -> CASE WHEN (i - 1) % 2 = 0 THEN ascii(substr(f, i, 1))
                       ELSE 0 END)) as bigint) AS ds_checksum
         FROM frames
-        ORDER BY doc_id, frame_idx"""))
+        ORDER BY doc_id, frame_idx""")),
+
+    // ─── m3: overlapping-window audio analysis plumbing ───
+    // The audio-shaped third of the multimodal story: a payload is a
+    // PCM-ish sample stream; slide a 64-byte analysis window at a
+    // 48-byte hop (25% overlap — the windowing shape every
+    // spectral/VAD stage uses) and emit per-window energy, peak, and
+    // a silence flag. A real deployment decodes codec frames and runs
+    // an FFT here; the stub computes the same-shaped features from
+    // raw bytes so the pipeline stays fully oracled. One typed
+    // flatMap, narrow (no shuffle): overlap multiplies output rows by
+    // 4/3, never re-reads the payload across partitions — the exact
+    // windowing shape at 100 TB.
+    "m3_audio_window" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents")
+          .select(col("doc_id"),
+            col("text").cast("binary").as("payload"),
+            lit("pcm-stub").as("format"))
+          .as[MediaIn]
+        media.flatMap { m =>
+          val p = m.payload
+          val nChunks =
+            if (p.length < ChunkBytes) 0
+            else (p.length - ChunkBytes) / ChunkHop + 1
+          Iterator.range(0, nChunks).map { k =>
+            val off = k * ChunkHop
+            var energy = 0L
+            var peak = 0L
+            var i = 0
+            while (i < ChunkBytes) {
+              val b = (p(off + i) & 0xFF).toLong
+              energy += b * b
+              if (b > peak) peak = b
+              i += 1
+            }
+            Chunk(m.doc_id, k.toLong, off.toLong, energy, peak,
+              energy < 500000L)
+          }
+        }.toDF()
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""WITH chunks AS (
+          SELECT doc_id, k AS chunk_idx, k * 48 AS start_off,
+            substr(text, k * 48 + 1, 64) AS c
+          FROM documents,
+            unnest(generate_series(0,
+              cast(floor((length(text) - 64) / 48) as bigint))) AS t(k)
+          WHERE length(text) >= 64)
+        SELECT doc_id, chunk_idx, cast(start_off as bigint) AS start_off,
+          cast(list_sum(list_transform(generate_series(1, 64),
+            i -> ascii(substr(c, i, 1)) * ascii(substr(c, i, 1))))
+            as bigint) AS energy,
+          cast(list_max(list_transform(generate_series(1, 64),
+            i -> ascii(substr(c, i, 1)))) as bigint) AS peak,
+          cast(list_sum(list_transform(generate_series(1, 64),
+            i -> ascii(substr(c, i, 1)) * ascii(substr(c, i, 1))))
+            as bigint) < 500000 AS silent
+        FROM chunks
+        ORDER BY doc_id, chunk_idx"""))
   )
 }
