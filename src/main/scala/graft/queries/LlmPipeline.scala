@@ -239,6 +239,20 @@ object LlmPipeline extends QueryModule {
     // bit-exact.
     "t10_rarity" -> Q(
       (s, dir) => {
+        // agg+join, NOT a frequency window: the token key is the most
+        // skewed key imaginable ("the" alone is ~5% of the stream), so
+        // a d1-style count-over-partition was measured to strand a
+        // 21-second single window partition at sf10; the hash
+        // aggregate's partial mode absorbs exactly that skew map-side,
+        // and the vocab-sized wf table joins size-checked (sublinear
+        // by Heaps' law — broadcasts while it fits). Two alternative
+        // shapes were measured at sf10 and both LOST to this one: a
+        // (w, doc_id) pre-agg "single-scan" form (short docs mean the
+        // pre-agg barely contracts, its extra exchange costs more than
+        // the saved scan) and folding the corpus total out of the
+        // per-doc aggregate (the total branch recomputes the join
+        // pipeline — exchange reuse does not cover it — which costs
+        // more than this one extra narrow count scan).
         val docs = t(s, dir, "documents")
         val toks = docs.select(col("doc_id"),
           explode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))),

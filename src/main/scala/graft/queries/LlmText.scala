@@ -367,6 +367,16 @@ object LlmText extends QueryModule {
     // both engines compare identical keys bit-for-bit.
     "d7_span_dedup" -> Q(
       (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // group-count via a window, not groupBy+self-join (the d1
+        // trick): the join form re-runs the normalize+split+explode
+        // span projection once per branch — two full corpus scans plus
+        // a string-keyed shuffle join. Here spans project ONCE and the
+        // frequency attaches in the same span-partitioned exchange the
+        // aggregate would have needed anyway (measured at sf10:
+        // 7.1 → ~2.2 s). Unlike t10's token key, the span key has no
+        // hot values (8-word spans are near-unique), so the window's
+        // per-key partitioning is skew-safe.
         val sp = t(s, dir, "documents")
           .withColumn("words", split(norm(col("text")), " "))
           .filter(size(col("words")) >= 8)
@@ -375,8 +385,8 @@ object LlmText extends QueryModule {
               sequence(lit(0), (size(col("words")) / 8).cast("int") - 1),
               j => concat_ws(" ", slice(col("words"), j * 8 + 1, lit(8)))))
               .as("span"))
-        val cnt = sp.groupBy(col("span")).agg(count(lit(1)).as("c"))
-        sp.join(cnt, Seq("span"))
+        sp.withColumn("c",
+            count(lit(1)).over(Window.partitionBy(col("span"))))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_spans"),
             sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup"))
