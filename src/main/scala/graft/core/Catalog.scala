@@ -255,6 +255,51 @@ final class Catalog(val spark: SparkSession, val database: String) {
     }
   }
 
+  /** Merge (upsert) materialization — the `merge` incremental
+    * strategy with `merge_update_columns` support (the third standard
+    * dbt strategy next to delete+insert and insert_overwrite; the
+    * reference's DuckDB backend runs delete+insert, but adapter users
+    * routinely configure merge where the warehouse supports it). On a
+    * key match only `updateColumns` (all non-key increment columns
+    * when empty) take the increment's values — INCLUDING explicit
+    * NULLs, per MERGE UPDATE SET semantics, so a match flag (not
+    * coalesce) drives the choice — while target-only columns keep the
+    * existing row's values. Unmatched increment keys insert, with
+    * target-only columns NULL-backfilled. Schema drift evolves through
+    * the same [[widenTo]] lattice as delete+insert. Scale shape: one
+    * key-partitioned shuffle join plus the CTAS swap — identical to
+    * the delete+insert exchange; nothing quadratic, nothing driver-side.
+    */
+  def createTableMerge(schema: String, tableName: String, df: DataFrame,
+      uniqueKey: Seq[String], updateColumns: Seq[String] = Seq.empty): Unit = {
+    if (!listRelations(schema).contains(tableName))
+      createTableAs(schema, tableName, df)
+    else {
+      val existing = table(schema, tableName)
+      val (tgt, inc) = widenTo(existing, df)
+      val upd =
+        if (updateColumns.nonEmpty) updateColumns
+        else inc.columns.toSeq.filterNot(uniqueKey.contains)
+      val incOnly = inc.columns.toSeq.filterNot(tgt.columns.contains)
+      val matchFlag = "__graft_merge_matched"
+      val tA = tgt.alias("t")
+      val iA = inc.withColumn(matchFlag, lit(true)).alias("i")
+      val cond = uniqueKey.map(k => col(s"t.$k") === col(s"i.$k"))
+        .reduce(_ && _)
+      val updSet = upd.toSet
+      val merged = tA.join(iA, cond, "left_outer").select(
+        tgt.columns.toSeq.map { c =>
+          if (updSet.contains(c) && inc.columns.contains(c))
+            when(col(matchFlag), col(s"i.$c")).otherwise(col(s"t.$c")).as(c)
+          else col(s"t.$c").as(c)
+        } ++ incOnly.map(c => col(s"i.$c").as(c)): _*)
+      val inserts = inc.join(
+        tgt.select(uniqueKey.map(col): _*).distinct(), uniqueKey, "left_anti")
+      createTableAs(schema, tableName,
+        merged.unionByName(inserts, allowMissingColumns = true))
+    }
+  }
+
   /** Cast the columns `a` and `b` share to their widest common type,
     * leaving each side's private columns untouched. Fails loudly on
     * genuinely incompatible drift (e.g. string vs array).

@@ -184,6 +184,50 @@ object Engine extends QueryModule {
         FROM orders
         ORDER BY o_orderkey""")),
 
+    // ─── C20c: merge (upsert) with merge_update_columns ───
+    // The third standard incremental strategy: on key match only the
+    // configured columns update (o_totalprice here) — the increment's
+    // o_custkey values must NOT overwrite matched rows — and new keys
+    // insert with target-only columns (o_orderdate, absent from the
+    // increment entirely) NULL-backfilled. Distinguishes merge from
+    // delete+insert, which would have replaced whole rows.
+    "c_merge" -> Q(
+      (s, dir) => {
+        val cat = new Catalog(s, Q.scratch(s, "merge"))
+        cat.dropRelation("", "orders_mrg") // deterministic across reruns
+        val ord = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderdate"))
+        val base = ord.filter(col("o_orderdate") < lit("1998-01-01"))
+        val incr = ord.filter(col("o_orderdate") >= lit("1997-01-01"))
+          .select(col("o_orderkey"),
+            (col("o_custkey") + 1000000L).as("o_custkey"),
+            (col("o_totalprice") * 3).as("o_totalprice"))
+        cat.createTableMerge("", "orders_mrg", base, Seq("o_orderkey"))
+        cat.createTableMerge("", "orders_mrg", incr, Seq("o_orderkey"),
+          updateColumns = Seq("o_totalprice"))
+        cat.table("", "orders_mrg").orderBy(col("o_orderkey"))
+      },
+      Some("""WITH base AS (
+          SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+          FROM orders WHERE o_orderdate < timestamp '1998-01-01'),
+        inc AS (
+          SELECT o_orderkey, o_custkey + 1000000 AS o_custkey,
+            o_totalprice * 3 AS o_totalprice
+          FROM orders WHERE o_orderdate >= timestamp '1997-01-01')
+        SELECT * FROM (
+          SELECT b.o_orderkey, b.o_custkey,
+            CASE WHEN i.o_orderkey IS NOT NULL THEN i.o_totalprice
+                 ELSE b.o_totalprice END AS o_totalprice,
+            b.o_orderdate
+          FROM base b LEFT JOIN inc i ON b.o_orderkey = i.o_orderkey
+          UNION ALL
+          SELECT i.o_orderkey, i.o_custkey, i.o_totalprice,
+            cast(NULL as timestamp) AS o_orderdate
+          FROM inc i
+          WHERE i.o_orderkey NOT IN (SELECT o_orderkey FROM base))
+        ORDER BY o_orderkey""")),
+
     // ─── C20b: incremental with SCHEMA DRIFT (evolve on merge) ───
     // The single most common incremental event at scale: an increment
     // that ADDS a column (o_orderpriority), WIDENS one (o_custkey was

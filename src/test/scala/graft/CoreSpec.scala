@@ -37,6 +37,23 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.table("", "nums").count() == 2)
   }
 
+  test("merge updates only configured columns, NULLs overwrite, new keys insert") {
+    val cat = freshCatalog("merge_sem")
+    import spark.implicits._
+    cat.createTableMerge("", "m",
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "tag", "v"), Seq("k"))
+    // increment: k=2 matched (v updates to NULL — MERGE UPDATE SET
+    // semantics, not coalesce; tag must NOT update), k=3 new
+    cat.createTableMerge("", "m",
+      Seq((2L, "ZZ", Option.empty[Int]), (3L, "c", Some(30)))
+        .toDF("k", "tag", "v"), Seq("k"), updateColumns = Seq("v"))
+    val rows = cat.table("", "m").orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).toList
+    assert(rows == List((1L, "a", Some(10)), (2L, "b", None),
+      (3L, "c", Some(30))))
+  }
+
   test("single-file mode writes exactly one .parquet file") {
     val cat = freshCatalog("single")
     import spark.implicits._
