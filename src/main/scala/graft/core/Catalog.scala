@@ -264,11 +264,22 @@ final class Catalog(val spark: SparkSession, val database: String) {
     * when empty) take the increment's values — INCLUDING explicit
     * NULLs, per MERGE UPDATE SET semantics, so a match flag (not
     * coalesce) drives the choice — while target-only columns keep the
-    * existing row's values. Unmatched increment keys insert, with
-    * target-only columns NULL-backfilled. Schema drift evolves through
-    * the same [[widenTo]] lattice as delete+insert. Scale shape: one
-    * key-partitioned shuffle join plus the CTAS swap — identical to
-    * the delete+insert exchange; nothing quadratic, nothing driver-side.
+    * existing row's values. Increment-only (schema-drift) columns
+    * follow the same gate: on a key match they take the increment's
+    * value only when listed in `updateColumns` (or when it is empty),
+    * staying NULL otherwise — exactly what warehouse MERGE does for a
+    * new column the UPDATE SET clause doesn't mention. Unmatched
+    * increment keys insert, with target-only columns NULL-backfilled.
+    * The increment MUST be unique on `uniqueKey`: SQL MERGE (and every
+    * dbt warehouse adapter) errors when one target row matches several
+    * source rows, and silently fanning the target out would corrupt
+    * the table — so a duplicate-keyed increment fails loudly here.
+    * Schema drift evolves through the same [[widenTo]] lattice as
+    * delete+insert. Scale shape: one key-partitioned shuffle join plus
+    * the CTAS swap — identical to the delete+insert exchange (the
+    * uniqueness guard is one map-side-combined aggregate over the
+    * increment, LIMIT 1 — aggregates reach the driver, never rows);
+    * nothing quadratic, nothing driver-side.
     */
   def createTableMerge(schema: String, tableName: String, df: DataFrame,
       uniqueKey: Seq[String], updateColumns: Seq[String] = Seq.empty): Unit = {
@@ -277,6 +288,13 @@ final class Catalog(val spark: SparkSession, val database: String) {
     else {
       val existing = table(schema, tableName)
       val (tgt, inc) = widenTo(existing, df)
+      val dup = inc.groupBy(uniqueKey.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"merge increment for $schema.$tableName has multiple rows per " +
+          s"unique_key (${uniqueKey.mkString(", ")}), e.g. " +
+          dup.headOption.map(_.toString).getOrElse("") +
+          " — SQL MERGE forbids multiple source matches per target row")
       val upd =
         if (updateColumns.nonEmpty) updateColumns
         else inc.columns.toSeq.filterNot(uniqueKey.contains)
@@ -292,7 +310,12 @@ final class Catalog(val spark: SparkSession, val database: String) {
           if (updSet.contains(c) && inc.columns.contains(c))
             when(col(matchFlag), col(s"i.$c")).otherwise(col(s"t.$c")).as(c)
           else col(s"t.$c").as(c)
-        } ++ incOnly.map(c => col(s"i.$c").as(c)): _*)
+        } ++ incOnly.map { c =>
+          // drift column the UPDATE SET clause doesn't list: matched
+          // target rows keep NULL, same as warehouse MERGE
+          (if (updSet.contains(c)) col(s"i.$c")
+           else lit(null).cast(inc.schema(c).dataType)).as(c)
+        }: _*)
       val inserts = inc.join(
         tgt.select(uniqueKey.map(col): _*).distinct(), uniqueKey, "left_anti")
       createTableAs(schema, tableName,
@@ -403,6 +426,60 @@ final class Catalog(val spark: SparkSession, val database: String) {
         .filter(col("_fp_cur").isNull || col("_fp_cur") =!= col("_fp"))
         .drop("_fp", "_fp_cur")
         .withColumn("dbt_valid_from", at)
+        .withColumn("dbt_valid_to", lit(null).cast("timestamp"))
+      createTableAs(schema, tableName,
+        closed.unionByName(stillOpen).unionByName(nowClosed)
+          .unionByName(opens))
+    }
+  }
+
+  /** dbt-style snapshot, `timestamp` strategy (the other standard dbt
+    * strategy next to `check`; reference ships its time helpers as
+    * macros/adapters.sql:60-72 parquet__snapshot_string_as_time /
+    * parquet__snapshot_get_time). A key's current version closes when
+    * the incoming row's `updatedAt` column ADVANCES past the stored
+    * version's `updatedAt` — no payload hashing at all, which is the
+    * point: change detection is one column compare instead of a
+    * canonical-JSON fingerprint over every payload column, so the scan
+    * side is narrower and faster at 100 TB. Validity bounds come from
+    * the data clock, not the wall clock: `dbt_valid_from` is the row's
+    * own `updatedAt`, and the closed version's `dbt_valid_to` is the
+    * superseding row's `updatedAt` — exactly how dbt's timestamp
+    * strategy stitches history. Rows whose `updatedAt` did not advance
+    * (equal or older — late arrivals) leave history untouched. Same
+    * scale shape as [[snapshot]]: key-equi-joins only, then the atomic
+    * CTAS swap.
+    */
+  def snapshotTimestamp(schema: String, tableName: String, df: DataFrame,
+      uniqueKey: Seq[String], updatedAt: String): Unit = {
+    val tsOf = (d: DataFrame) => d.col(updatedAt).cast("timestamp")
+    if (!listRelations(schema).contains(tableName)) {
+      createTableAs(schema, tableName,
+        df.withColumn("dbt_valid_from", tsOf(df))
+          .withColumn("dbt_valid_to", lit(null).cast("timestamp")))
+    } else {
+      val cur = table(schema, tableName)
+      val closed = cur.filter(col("dbt_valid_to").isNotNull)
+      val open = cur.filter(col("dbt_valid_to").isNull)
+      val inKeyed = df.select(
+        (uniqueKey.map(col) :+ tsOf(df).as("_ts_new")): _*)
+      val joined = open.join(inKeyed, uniqueKey, "left_outer")
+      val stillOpen = joined
+        .filter(col("_ts_new").isNull ||
+          col("_ts_new") <= col(updatedAt).cast("timestamp"))
+        .drop("_ts_new")
+      val nowClosed = joined
+        .filter(col("_ts_new").isNotNull &&
+          col("_ts_new") > col(updatedAt).cast("timestamp"))
+        .withColumn("dbt_valid_to", col("_ts_new"))
+        .drop("_ts_new")
+      val opens = df
+        .join(open.select((uniqueKey.map(col) :+
+          tsOf(open).as("_ts_cur")): _*), uniqueKey, "left_outer")
+        .filter(col("_ts_cur").isNull ||
+          tsOf(df) > col("_ts_cur"))
+        .drop("_ts_cur")
+        .withColumn("dbt_valid_from", tsOf(df))
         .withColumn("dbt_valid_to", lit(null).cast("timestamp"))
       createTableAs(schema, tableName,
         closed.unionByName(stillOpen).unionByName(nowClosed)

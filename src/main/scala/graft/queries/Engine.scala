@@ -334,6 +334,50 @@ object Engine extends QueryModule {
         FROM base WHERE o_orderdate >= timestamp '1997-01-01'
         ORDER BY o_orderkey, dbt_valid_from""")),
 
+    // ─── C22b: SCD-2 snapshot, TIMESTAMP strategy ───
+    // Second run changes EVERY row's payload but advances updated_at
+    // only for post-1997 rows: timestamp strategy must version only
+    // those (the check strategy would have versioned everything) —
+    // pre-1997 keys keep their single open version with the ORIGINAL
+    // payload, and the closed versions' dbt_valid_to is the
+    // superseding row's updated_at, not a wall-clock asOf.
+    "c_snapshot_ts" -> Q(
+      (s, dir) => {
+        val cat = new Catalog(s, Q.scratch(s, "snapts"))
+        cat.dropRelation("", "ord_snap_ts") // deterministic across reruns
+        val base = t(s, dir, "orders").filter(col("o_custkey") <= 200)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderdate").cast("timestamp").as("updated_at"))
+        val updated = base
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+          .withColumn("updated_at",
+            when(col("updated_at") >= lit("1997-01-01").cast("timestamp"),
+              col("updated_at") + expr("INTERVAL 100 DAYS"))
+              .otherwise(col("updated_at")))
+        cat.snapshotTimestamp("", "ord_snap_ts", base,
+          Seq("o_orderkey"), "updated_at")
+        cat.snapshotTimestamp("", "ord_snap_ts", updated,
+          Seq("o_orderkey"), "updated_at")
+        cat.table("", "ord_snap_ts")
+          .orderBy(col("o_orderkey"), col("dbt_valid_from"))
+      },
+      Some("""WITH base AS (
+          SELECT o_orderkey, o_custkey, o_totalprice,
+            cast(o_orderdate as timestamp) AS updated_at
+          FROM orders WHERE o_custkey <= 200)
+        SELECT o_orderkey, o_custkey, o_totalprice, updated_at,
+          updated_at AS dbt_valid_from,
+          CASE WHEN updated_at >= timestamp '1997-01-01'
+               THEN updated_at + INTERVAL 100 DAY END AS dbt_valid_to
+        FROM base
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice + 1000,
+          updated_at + INTERVAL 100 DAY,
+          updated_at + INTERVAL 100 DAY,
+          cast(NULL as timestamp)
+        FROM base WHERE updated_at >= timestamp '1997-01-01'
+        ORDER BY o_orderkey, dbt_valid_from""")),
+
     // ─── C9: CSV seed → parquet ───
     "c_seed" -> Q(
       (s, dir) => {

@@ -32,7 +32,13 @@ object Q {
     import org.apache.hadoop.fs.Path
     val root = sys.env.getOrElse("GRAFT_SCRATCH_ROOT",
       "file:" + System.getProperty("java.io.tmpdir"))
-    val p = new Path(root, s"graft_db_$name")
+    // Suffix with the Spark application id: two concurrent graft JVMs
+    // (e.g. a bench run overlapping a correctness run) must never
+    // share a scratch database — a CTAS rename-aside in one process
+    // would corrupt the other's mid-swap read. Within one JVM the id
+    // is stable, so each gate keeps its own drop-first determinism.
+    val p = new Path(root,
+      s"graft_${spark.sparkContext.applicationId}/graft_db_$name")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(p)
     fs.makeQualified(p).toString

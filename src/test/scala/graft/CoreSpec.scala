@@ -54,6 +54,67 @@ class CatalogSpec extends AnyFunSuite {
       (3L, "c", Some(30))))
   }
 
+  test("merge rejects an increment with duplicate unique-key rows") {
+    val cat = freshCatalog("merge_dup")
+    import spark.implicits._
+    cat.createTableMerge("", "md",
+      Seq((1L, 10), (2L, 20)).toDF("k", "v"), Seq("k"))
+    // SQL MERGE errors on multiple source matches; a silent left_outer
+    // fan-out would have duplicated the matched target row instead
+    val ex = intercept[IllegalArgumentException] {
+      cat.createTableMerge("", "md",
+        Seq((2L, 21), (2L, 22)).toDF("k", "v"), Seq("k"))
+    }
+    assert(ex.getMessage.contains("unique_key"))
+    assert(cat.table("", "md").count() == 2, "target must be untouched")
+  }
+
+  test("merge drift column outside merge_update_columns stays NULL on match") {
+    val cat = freshCatalog("merge_drift")
+    import spark.implicits._
+    cat.createTableMerge("", "mx",
+      Seq((1L, 10), (2L, 20)).toDF("k", "v"), Seq("k"))
+    // increment adds a NEW column `extra` but UPDATE SET only lists v:
+    // matched row k=2 must update v yet keep extra NULL (warehouse
+    // MERGE leaves an unlisted column alone); the inserted row k=3
+    // carries its extra value
+    cat.createTableMerge("", "mx",
+      Seq((2L, 21, "drift"), (3L, 30, "new")).toDF("k", "v", "extra"),
+      Seq("k"), updateColumns = Seq("v"))
+    val rows = cat.table("", "mx").orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toList
+    assert(rows == List((1L, 10, null), (2L, 21, null), (3L, 30, "new")))
+  }
+
+  test("snapshotTimestamp versions only keys whose updated_at advances") {
+    val cat = freshCatalog("snap_ts")
+    import spark.implicits._
+    def df(rows: Seq[(Long, String, String)]) =
+      rows.toDF("k", "payload", "upd")
+        .withColumn("upd", col("upd").cast("timestamp"))
+    cat.snapshotTimestamp("", "st",
+      df(Seq((1L, "a", "2026-01-01 00:00:00"),
+             (2L, "b", "2026-01-01 00:00:00"))), Seq("k"), "upd")
+    // k=1: payload changes but upd does NOT advance → untouched
+    // (check strategy would have versioned it); k=2: upd advances →
+    // old version closes at the NEW upd, new version opens there
+    cat.snapshotTimestamp("", "st",
+      df(Seq((1L, "a2", "2026-01-01 00:00:00"),
+             (2L, "b2", "2026-02-01 00:00:00"))), Seq("k"), "upd")
+    val rows = cat.table("", "st")
+      .orderBy(col("k"), col("dbt_valid_from"))
+      .select(col("k"), col("payload"),
+        col("dbt_valid_from").cast("string"),
+        col("dbt_valid_to").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getString(3))).toList
+    assert(rows == List(
+      (1L, "a", "2026-01-01 00:00:00", null),
+      (2L, "b", "2026-01-01 00:00:00", "2026-02-01 00:00:00"),
+      (2L, "b2", "2026-02-01 00:00:00", null)))
+  }
+
   test("single-file mode writes exactly one .parquet file") {
     val cat = freshCatalog("single")
     import spark.implicits._
