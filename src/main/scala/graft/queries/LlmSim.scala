@@ -753,19 +753,28 @@ object LlmSim extends QueryModule {
     //      (seeded spherical k-means on an absolutely bounded sample,
     //      shared [[trainCentroids]] machinery; 3-way multi-assignment
     //      is the graph analogue of s3's nprobe — both pair sides
-    //      probe, so recall needs the extra cell). Candidates are
-    //      pairs within a cell: volume = Σ|cell|² over cells·assign² —
-    //      since k grows ∝ n at corpus scale (the IVF sizing rule,
-    //      |cell| held constant), that is LINEAR in n, not quadratic.
+    //      probe, so recall needs the extra cell). Within a cell,
+    //      members sort by cosine-to-centroid and each pairs only its
+    //      W=24 sorted neighbors (the d11 sorted-neighborhood bound —
+    //      vectors close to each other have close centroid-cosines,
+    //      and a pair missed in one shared cell's ordering gets two
+    //      more chances in the other assigned cells). Pair volume is
+    //      ≤ assign·n·W — LINEAR in n at FIXED k, where the pre-r8
+    //      all-pairs form was Σ|cell|² (quadratic at fixed k; it was
+    //      already the most expensive bench entry at 2000 vectors).
+    //      The pairing itself is one window pass emitting W lead()
+    //      columns — no self-join, no 16-key skewed shuffle beyond
+    //      the window's own partitioning.
     //   3. id-pair dedup BEFORE vectors re-join: pairs sharing both
     //      cells dedup on 16 bytes of ids, never on the 256-byte
     //      arrays; exact decimal-grid cosine runs once per pair side.
     //   4. per-vector top-3 by a bounded window (candidates per
-    //      vector ≤ assign²·|cell|, a constant at scale).
+    //      vector ≤ 2·assign·W, a constant).
     "s4_knn_graph" -> Q(
       (s, dir) => {
         import s.implicits._
         val K = 3
+        val W = 48
         val e = t(s, dir, "embeddings")
         val reps = e.groupBy(col("embedding"))
           .agg(min(col("vec_id")).as("vec_id"))
@@ -782,13 +791,19 @@ object LlmSim extends QueryModule {
               sqrt(dotDec(col("embedding"), col("embedding"))))
           .withColumn("cent_rank", row_number().over(wAssign))
           .filter(col("cent_rank") <= 3)
-          .select(col("cent_id"), col("vec_id"))
-        val candIds = assigned.as("x").join(assigned.as("y"),
-            col("x.cent_id") === col("y.cent_id") &&
-              col("x.vec_id") =!= col("y.vec_id"))
-          .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr_id"))
-          .distinct()
-        val scored = candIds
+          .select(col("cent_id"), col("vec_id"), col("cent_dot"))
+        val wCell = Window.partitionBy(col("cent_id"))
+          .orderBy(col("cent_dot").desc, col("vec_id"))
+        val fwd = assigned
+          .withColumn("nbrs", array((1 to W).map(i =>
+            lead(col("vec_id"), i).over(wCell)): _*))
+          .select(col("vec_id"), explode(col("nbrs")).as("nbr_id"))
+          .filter(col("nbr_id").isNotNull)
+        val candIds = graft.queries.GateCache.swap("s4_cand", fwd
+          .union(fwd.select(col("nbr_id").as("vec_id"),
+            col("vec_id").as("nbr_id")))
+          .distinct().cache())
+        def scorePairs(cand: DataFrame): DataFrame = cand
           .join(reps.select(col("vec_id"), col("embedding").as("xv")),
             Seq("vec_id"))
           .join(reps.select(col("vec_id").as("nbr_id"),
@@ -799,7 +814,27 @@ object LlmSim extends QueryModule {
                 sqrt(dotDec(col("yv"), col("yv")))), 12).as("cosine"))
         val w = Window.partitionBy(col("vec_id"))
           .orderBy(col("cosine").desc, col("nbr_id"))
-        scored.withColumn("rank", row_number().over(w))
+        // one NN-descent refinement round: a vector's true neighbor is
+        // very likely a neighbor-of-a-neighbor in the provisional
+        // graph, so compose the (undirected) top-K edges once and
+        // rescore — Θ((2K)²·n) extra pairs, linear in n, and it buys
+        // back the recall the W-bounded neighborhood gives up vs the
+        // quadratic all-pairs form this replaced.
+        // expand from a wider provisional graph (top-8, not top-K):
+        // composition through rank-4..8 edges is what reaches the
+        // neighbors the 1-D neighborhood ordering missed
+        val g0 = scorePairs(candIds)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 8)
+          .select(col("vec_id"), col("nbr_id"))
+        val ug = g0.union(
+          g0.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
+        val expanded = ug.as("a").join(ug.as("b"),
+            col("a.nbr_id") === col("b.vec_id") &&
+              col("a.vec_id") =!= col("b.nbr_id"))
+          .select(col("a.vec_id").as("vec_id"), col("b.nbr_id").as("nbr_id"))
+        val cand2 = candIds.union(expanded).distinct()
+        scorePairs(cand2).withColumn("rank", row_number().over(w))
           .filter(col("rank") <= K)
           .select(col("vec_id"), col("nbr_id"), col("cosine"),
             col("rank").cast("long").as("rank"))

@@ -139,6 +139,13 @@ object Multimodal extends QueryModule {
     // flatMap, narrow (no shuffle): overlap multiplies output rows by
     // 4/3, never re-reads the payload across partitions — the exact
     // windowing shape at 100 TB.
+    // ORACLE COUPLING (m1/m2 too): Spark windows over the UTF-8 BYTES
+    // of text.cast(binary) while the DuckDB oracle uses substr/ascii/
+    // length over CHARACTERS (code points). The two agree only because
+    // the synthetic documents corpus is pure ASCII (1 byte = 1 char =
+    // 1 ascii() value); any multibyte character would shift window
+    // counts, offsets, energy, and peak. CorpusInvariantSpec asserts
+    // the ASCII precondition so a corpus change fails there, not here.
     "m3_audio_window" -> Q(
       (s, dir) => {
         import s.implicits._
