@@ -335,6 +335,55 @@ object LlmPipeline extends QueryModule {
             / (cast(tok_sum as double) / cast(total as double)))
             AS sample_rate
         FROM per, tot
-        ORDER BY source"""))
+        ORDER BY source""")),
+
+    // ─── t15: distribution-based length filter (per-language
+    // percentile band) ───
+    // Keep documents inside the [p5, p95] per-language length band —
+    // the outlier-filtering stage that drops truncation stubs and
+    // concatenation monsters. The band is estimated on a DETERMINISTIC
+    // 20% sample (doc_id % 5): at 100 TB the exact corpus-wide
+    // percentile is a per-group full sort (ObjectHashAggregate holding
+    // every value), while the sampled estimator is the standard scale
+    // path — the sample aggregate is bounded, its |langs|-row output
+    // broadcasts back over the corpus scan, and the filter itself is
+    // one narrow pass. Band membership compares exact integers against
+    // the interpolated bounds, which both engines derive from the same
+    // sorted sample (non-integer whenever interpolation is fractional,
+    // exactly integral when not — either way cross-engine identical);
+    // the EMITTED bounds are round(6)'d to absorb formula-order ulp.
+    "t15_length_band" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val bands = docs.filter(col("doc_id") % 5 === 0)
+          .groupBy(col("lang"))
+          .agg(expr("percentile(n_chars, array(0.05D, 0.95D))").as("q"))
+          .select(col("lang"),
+            element_at(col("q"), 1).as("lo"),
+            element_at(col("q"), 2).as("hi"))
+        docs.join(broadcast(bands), Seq("lang"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_chars") >= col("lo") &&
+              col("n_chars") <= col("hi"), 1L).otherwise(0L)).as("n_kept"),
+            round(min(col("lo")), 6).as("lo"),
+            round(min(col("hi")), 6).as("hi"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH bands AS (
+          SELECT lang,
+            quantile_cont(n_chars, 0.05) AS lo,
+            quantile_cont(n_chars, 0.95) AS hi
+          FROM documents WHERE doc_id % 5 = 0
+          GROUP BY lang)
+        SELECT d.lang, count(*) AS n_docs,
+          cast(sum(CASE WHEN d.n_chars BETWEEN b.lo AND b.hi
+                        THEN 1 ELSE 0 END) as bigint) AS n_kept,
+          round(min(b.lo), 6) AS lo,
+          round(min(b.hi), 6) AS hi
+        FROM documents d JOIN bands b ON d.lang = b.lang
+        GROUP BY d.lang
+        ORDER BY d.lang"""))
   )
 }

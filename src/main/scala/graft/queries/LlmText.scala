@@ -504,6 +504,122 @@ object LlmText extends QueryModule {
           len(string_split($normSql, ' ')) AS n_words
         FROM documents
         WHERE len(string_split($normSql, ' ')) >= 2
+        ORDER BY doc_id""")),
+
+    // ─── t13: overlapping document chunking (RAG / context-window
+    // prep) ───
+    // Split each document into 64-word chunks at a 48-word stride
+    // (25% overlap — the retrieval-chunking shape, the text analogue
+    // of m3's audio windows). One narrow projection + explode: output
+    // rows ≈ 4/3 × input words, no shuffle, the payload is re-read
+    // only within its own partition — exactly how a chunker runs over
+    // 100 TB. Each chunk carries its word span and an md5 signature
+    // (what a downstream embedder or chunk-level dedup keys on).
+    "t13_chunk_overlap" -> Q(
+      (s, dir) => {
+        val W = 64
+        val H = 48
+        t(s, dir, "documents")
+          .withColumn("words", split(norm(col("text")), " "))
+          .withColumn("k", explode(sequence(lit(0),
+            floor((size(col("words")) - 1) / H).cast("int"))))
+          .withColumn("chunk", slice(col("words"), col("k") * H + 1, lit(W)))
+          .select(col("doc_id"),
+            col("k").cast("long").as("chunk_idx"),
+            (col("k") * H).cast("long").as("start_word"),
+            size(col("chunk")).cast("long").as("n_words"),
+            md5(array_join(col("chunk"), " ")).as("chunk_sig"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id, string_split($normSql, ' ') AS w FROM documents)
+        SELECT doc_id, k AS chunk_idx, k * 48 AS start_word,
+          cast(len(list_slice(w, k * 48 + 1, k * 48 + 64)) as bigint)
+            AS n_words,
+          md5(array_to_string(list_slice(w, k * 48 + 1, k * 48 + 64), ' '))
+            AS chunk_sig
+        FROM d, unnest(generate_series(0, (len(w) - 1) // 48)) AS t(k)
+        ORDER BY doc_id, chunk_idx""")),
+
+    // ─── t14: blocklist filter (C4-style "bad words" pass) ───
+    // Fraction of words hitting a static blocklist, plus the keep
+    // verdict — the standard wordlist-filtering stage every web-scale
+    // corpus runs. One shuffle-free codegen projection (the list is a
+    // compile-time constant folded into the lambda); the fraction is
+    // a single IEEE divide of exact counts, so the oracle compare is
+    // bit-identical. At 100 TB a real blocklist (thousands of terms)
+    // becomes a broadcast set or an Aho-Corasick expression — the
+    // plan shape (narrow scan, no exchange) is already the right one.
+    "t14_blocklist" -> Q(
+      (s, dir) => {
+        val block = Seq("merge", "hash", "stream")
+        t(s, dir, "documents")
+          .withColumn("words", split(norm(col("text")), " "))
+          .select(col("doc_id"),
+            size(col("words")).cast("long").as("n_words"),
+            size(filter(col("words"), w => w.isInCollection(block)))
+              .cast("long").as("n_flagged"))
+          .withColumn("flag_frac",
+            col("n_flagged").cast("double") / col("n_words").cast("double"))
+          .withColumn("keep", col("flag_frac") <= 0.05)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH m AS (
+          SELECT doc_id,
+            len(string_split($normSql, ' ')) AS n_words,
+            len(list_filter(string_split($normSql, ' '),
+              w -> w IN ('merge', 'hash', 'stream'))) AS n_flagged
+          FROM documents)
+        SELECT doc_id, n_words, n_flagged,
+          cast(n_flagged as double) / cast(n_words as double) AS flag_frac,
+          cast(n_flagged as double) / cast(n_words as double) <= 0.05
+            AS keep
+        FROM m
+        ORDER BY doc_id""")),
+
+    // ─── t16: character-entropy quality signal ───
+    // Shannon entropy of the per-document character distribution —
+    // the gibberish/binary-noise detector (low entropy = repeated
+    // filler, implausibly high = random bytes). Shuffle-free: the
+    // char histogram is computed per row with higher-order functions
+    // over the (sorted) distinct-char alphabet, O(|alphabet|·len) per
+    // doc with a ~40-char alphabet — linear in corpus size, scan
+    // speed, no explode+groupBy exchange. Both engines fold the term
+    // list in the SAME sorted-char order with a left fold from 0.0,
+    // so the double sums are order-identical; the only cross-engine
+    // wobble is log2's last ulp, absorbed by round(6).
+    "t16_char_entropy" -> Q(
+      (s, dir) => {
+        t(s, dir, "documents")
+          .withColumn("chars", split(norm(col("text")), ""))
+          .withColumn("counts", expr(
+            """transform(array_sort(array_distinct(chars)),
+                 c -> size(filter(chars, x -> x = c)))"""))
+          .select(col("doc_id"),
+            size(col("chars")).cast("long").as("n_chars_norm"),
+            size(col("counts")).cast("long").as("n_distinct_chars"),
+            round(expr(
+              """aggregate(counts, cast(0.0 as double),
+                   (acc, c) -> acc - (c / cast(size(chars) as double))
+                     * log2(c / cast(size(chars) as double)))"""), 6)
+              .as("entropy"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH base AS (
+          SELECT doc_id, string_split($normSql, '') AS chars
+          FROM documents),
+        h AS (
+          SELECT doc_id, len(chars) AS n,
+            list_transform(list_sort(list_distinct(chars)),
+              c -> len(list_filter(chars, x -> x = c))) AS counts
+          FROM base)
+        SELECT doc_id, cast(n as bigint) AS n_chars_norm,
+          cast(len(counts) as bigint) AS n_distinct_chars,
+          round(list_reduce(
+            list_transform(counts, c ->
+              -(c / cast(n as double)) * log2(c / cast(n as double))),
+            (a, b) -> a + b), 6) AS entropy
+        FROM h
         ORDER BY doc_id"""))
   )
 }

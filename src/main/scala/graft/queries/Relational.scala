@@ -251,6 +251,60 @@ object Relational extends QueryModule {
         GROUP BY n_name
         ORDER BY revenue DESC, n_name""")),
 
+    // TEMP A/B variant (r8): attach n_nationkey to the order rows so
+    // the per-custkey aggregate (15M-group corpus-scale exchange) and
+    // the post-aggregate dim join disappear — the orderkey join output
+    // aggregates straight to 5 nation groups, collapsing map-side.
+    "q5x_nation_direct" -> Q(
+      (s, dir) => {
+        val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        val nation = t(s, dir, "nation")
+        val cust = t(s, dir, "customer")
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1995-06-01") &&
+            col("o_orderdate") < lit("1999-01-01"))
+        val li = t(s, dir, "lineitem")
+        val sup = t(s, dir, "supplier")
+        val asiaN = nation
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val custA = cust
+          .join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_nationkey"))
+          .cache()
+        custA.count()
+        val ordA = ord.select(col("o_orderkey"), col("o_custkey"))
+          .join(custA, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("n_nationkey"))
+        val liF = li
+          .join(sup.select(col("s_suppkey")),
+            col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .select(col("l_orderkey"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast(DecimalType(18, 4)).as("rev1"))
+        liF
+          .join(ordA.hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_nationkey"))
+          .agg(sum(col("rev1")).as("rev"))
+          .join(broadcast(asiaN), Seq("n_nationkey"))
+          .select(col("n_name"), col("rev").cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some(s"""SELECT n_name,
+          ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= timestamp '1995-06-01'
+          AND o_orderdate < timestamp '1999-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name""")),
+
     // ─── q6: selective range filter + arithmetic agg (TPC-H Q6) ───
     "q6_cond_agg" -> Q(
       (s, dir) => {
