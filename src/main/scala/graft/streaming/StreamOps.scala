@@ -184,8 +184,84 @@ object StreamOps extends QueryModule {
             list_distinct(string_split(
               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))),
             ' '))) AS n_unique
-        FROM documents"""))
+        FROM documents""")),
+
+    // ─── stream-stream interval join (stream_join) ───
+    // Click→purchase attribution: join two event streams per user
+    // where the purchase lands within 2 hours of the click — the
+    // canonical stream-stream inner join. Both sides carry watermarks
+    // and the join condition bounds p_ts to [c_ts, c_ts + 2h], which
+    // is what lets Spark EVICT buffered click state once the purchase
+    // watermark passes c_ts + 2h (an unbounded-condition join would
+    // buffer both streams forever — the state bound IS the scale
+    // design). Inner append-mode join; the batch-equivalent SQL is
+    // the oracle, so the streamed answer must match batch exactly.
+    "q61_stream_join" -> Q(
+      (s, dir) => clickPurchaseJoin(s, dir, s"$dir/events.parquet",
+        glob = "events.parquet", maxFilesPerTrigger = None,
+        watermark = "1 hour", queryName = "graft_q61_sink"),
+      Some("""SELECT c.user_id, c.event_id AS click_id,
+          p.event_id AS purchase_id,
+          (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS lag_secs
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        ORDER BY c.user_id, click_id, purchase_id"""))
   )
+
+  /** q61's pipeline, runnable against any events directory, batch
+    * granularity, and watermark delay. The gate drains one static
+    * file (one micro-batch, 1-hour watermark); StreamJoinSpec splits
+    * the corpus into several files and replays one per trigger with a
+    * corpus-spanning watermark, proving a click buffered in one
+    * micro-batch really joins a purchase arriving batches later —
+    * the cross-batch state path the single-file drain can't reach.
+    */
+  def clickPurchaseJoin(s: SparkSession, dir: String, schemaFrom: String,
+      glob: String, maxFilesPerTrigger: Option[Int], watermark: String,
+      queryName: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(schemaFrom).schema
+    def src: DataFrame = {
+      val reader = s.readStream
+        .schema(schema)
+        .option("pathGlobFilter", glob)
+      maxFilesPerTrigger.foreach(m =>
+        reader.option("maxFilesPerTrigger", m.toString))
+      val raw = reader.parquet(dir)
+      schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw
+      }
+    }
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"),
+        col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    val buys = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val joined = clicks.join(buys,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 2 HOURS"))
+    s.streams.active.filter(_.name == queryName).foreach(_.stop())
+    val query = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    s.table(queryName)
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"),
+        expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000")
+          .as("lag_secs"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
 
   /** q59's pipeline, runnable against any documents directory and any
     * micro-batch granularity (`maxFilesPerTrigger = Some(1)` forces
