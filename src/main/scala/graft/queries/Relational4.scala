@@ -339,6 +339,63 @@ object Relational4 extends QueryModule {
           arr[1] AS first_el,
           md5(coalesce(txt, '<null>')) AS fp
         FROM nasty
-        ORDER BY id"""))
+        ORDER BY id""")),
+
+    // ─── q62: dual-dimension fact join (TPC-H Q7 shape) ───
+    // The shape Q7 pins that no other gate covers: ONE fact joined
+    // through TWO independent dimension paths (supplier→nation and
+    // orders→customer→nation) with the group key assembled from both
+    // sides plus a derived year. Scale design: both nation joins
+    // broadcast a 25-row dim onto corpus-proportional sides
+    // (supplier/customer) BEFORE those sides meet the fact, so the
+    // lineitem scan shuffles exactly twice (suppkey, then orderkey) —
+    // never on a dim key — and the shipdate filter is pushed into the
+    // scan. The ~25·25·|years| output groups collapse map-side.
+    "q62_nation_pairs" -> Q(
+      (s, dir) => {
+        val nation = t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        val supN = t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+          .join(broadcast(nation),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val custN = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+          .join(broadcast(nation),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1995-01-01") &&
+            col("l_shipdate") < lit("1997-01-01"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(col("l_shipdate")).cast("long").as("l_year"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast(DecimalType(18, 4)).as("rev1"))
+          .join(supN, col("l_suppkey") === col("s_suppkey"))
+          .join(ord.hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(custN, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+          .agg(sum(col("rev1")).cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+          cast(year(l_shipdate) as bigint) AS l_year,
+          cast(sum(cast(l_extendedprice * (1.0 - l_discount)
+            as decimal(18,4))) as double) AS revenue,
+          count(*) AS n_items
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE l_shipdate >= timestamp '1995-01-01'
+          AND l_shipdate < timestamp '1997-01-01'
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year"""))
   )
 }

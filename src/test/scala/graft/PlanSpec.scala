@@ -201,4 +201,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"range join must use derived equi-buckets:\n$p")
   }
+
+  test("t13/t14/t16 scan-speed curation ops carry no exchange") {
+    // the r8 curation additions are per-row projections (chunking,
+    // blocklist, entropy): any Exchange in their plans means a
+    // regression re-introduced a shuffle into what must stay a narrow
+    // scan at 100 TB. (The trailing orderBy exists only for the
+    // deterministic gate dump, so a single range exchange for the
+    // final sort is tolerated; none may appear below it.)
+    for (q <- Seq("t13_chunk_overlap", "t14_blocklist", "t16_char_entropy")) {
+      val p = planOf(q)
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 1,
+        s"$q must be shuffle-free below its output sort, got:\n$p")
+      assert(!p.contains("hashpartitioning"),
+        s"$q must not hash-shuffle:\n$p")
+    }
+  }
+
+  test("t15's percentile band is estimated on the sample, not the corpus") {
+    // the scalable estimator: the percentile aggregate's input scan
+    // must carry the doc_id % 5 sample predicate — an exact
+    // corpus-wide percentile would be a per-group full sort at 100 TB
+    val df = SparkEntry.queries("t15_length_band")(spark, TestSpark.SF)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("percentile"), s"expected a percentile aggregate:\n$p")
+    assert(p.contains("% 5") || p.contains("pmod"),
+      s"percentile must aggregate the deterministic sample:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"band must broadcast back over the corpus:\n$p")
+  }
 }
