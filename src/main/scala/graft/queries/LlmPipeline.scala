@@ -257,7 +257,16 @@ object LlmPipeline extends QueryModule {
         val toks = docs.select(col("doc_id"),
           explode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))),
             " ")).as("w"))
-        val wf = toks.groupBy(col("w")).agg(count(lit(1)).as("wf"))
+        // cache+count-materialized (r8, the q3/q5/q41 pattern): the
+        // vocab is sublinear (Heaps' law) but Catalyst's no-CBO
+        // estimate for the groupBy output is input-sized, which forced
+        // the toks⋈wf join onto a shuffle; materializing plans a
+        // static broadcast on the TRUE vocab size (sf100 fresh-JVM
+        // A/B: 27.3/28.1 → 24.7/23.5 s medians), degrading back to
+        // the shuffle join at the corpus scale where the vocab
+        // outgrows the threshold.
+        val wf = toks.groupBy(col("w")).agg(count(lit(1)).as("wf")).cache()
+        wf.count()
         val total = toks.count()
         toks.join(wf, Seq("w"))
           .groupBy(col("doc_id"))

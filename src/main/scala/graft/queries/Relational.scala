@@ -196,15 +196,20 @@ object Relational extends QueryModule {
         // policy broadcasts it while it fits and shuffles at the scale
         // where it doesn't — never a hard failure.
         // The region→nation→customer chain collapses to one
-        // pre-filtered dimension (ASIA customers + their nation name),
+        // pre-filtered dimension (ASIA customers + their nation KEY),
         // cache+count-materialized: the TRUE ~1/5-of-customer size
         // replaces Catalyst's no-CBO estimate (= full customer scan),
-        // so its key set broadcast-SEMI-filters orders BEFORE the big
-        // orderkey join — the join build, its output, and the
-        // per-custkey aggregate all shrink by the ASIA selectivity —
-        // and the post-aggregate nation join broadcasts the same
-        // materialized dim. Both joins degrade to shuffles at the
-        // corpus scale where the dim outgrows the threshold. Decimal
+        // so the dim joins orders as a static size-checked broadcast
+        // BEFORE the big orderkey join, degrading to a shuffle at the
+        // corpus scale where it outgrows the threshold.
+        // Round-8 restructure (interleaved fresh-JVM A/B at sf100:
+        // 12.4/11.8 s vs 13.9/15.0 s medians for the old form): the
+        // orders side carries n_nationkey THROUGH the orderkey join,
+        // so the result aggregates straight to ≤25 nation groups —
+        // collapsing map-side — instead of per-custkey (a 15M-group
+        // corpus-scale exchange) followed by a dim join and a second
+        // aggregate. One fewer corpus-scale exchange; the 25-row name
+        // attach happens after aggregation on 25 rows. Decimal
         // addition is exact and associative, so the nested sums stay
         // bit-identical to the oracle's flat sum.
         val asiaN = nation
@@ -212,67 +217,9 @@ object Relational extends QueryModule {
           .select(col("n_nationkey"), col("n_name"))
         val custA = cust
           .join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
-          .select(col("c_custkey"), col("n_name"))
-          .cache()
-        custA.count() // materialize: joins below plan on true size
-        val ordA = ord.select(col("o_orderkey"), col("o_custkey"))
-          .join(custA.select(col("c_custkey")),
-            col("o_custkey") === col("c_custkey"), "left_semi")
-        val liF = li
-          .join(sup.select(col("s_suppkey")),
-            col("l_suppkey") === col("s_suppkey"), "left_semi")
-          .select(col("l_orderkey"),
-            (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-              .cast(DecimalType(18, 4)).as("rev1"))
-        liF
-          // shuffle_hash, not sort-merge: neither side's ordering is
-          // reusable downstream, so hashing the (smaller) orders side
-          // beats sorting both (partition-local build, AQE-skew-safe)
-          .join(ordA.hint("shuffle_hash"),
-            col("l_orderkey") === col("o_orderkey"))
-          .groupBy(col("o_custkey"))
-          .agg(sum(col("rev1")).as("rev"))
-          .join(custA, col("o_custkey") === col("c_custkey"))
-          .groupBy(col("n_name"))
-          .agg(sum(col("rev")).cast("double").as("revenue"))
-          .orderBy(col("revenue").desc, col("n_name"))
-      },
-      Some(s"""SELECT n_name,
-          ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN supplier ON l_suppkey = s_suppkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN nation ON c_nationkey = n_nationkey
-        JOIN region ON n_regionkey = r_regionkey
-        WHERE r_name = 'ASIA'
-          AND o_orderdate >= timestamp '1995-06-01'
-          AND o_orderdate < timestamp '1999-01-01'
-        GROUP BY n_name
-        ORDER BY revenue DESC, n_name""")),
-
-    // TEMP A/B variant (r8): attach n_nationkey to the order rows so
-    // the per-custkey aggregate (15M-group corpus-scale exchange) and
-    // the post-aggregate dim join disappear — the orderkey join output
-    // aggregates straight to 5 nation groups, collapsing map-side.
-    "q5x_nation_direct" -> Q(
-      (s, dir) => {
-        val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
-        val nation = t(s, dir, "nation")
-        val cust = t(s, dir, "customer")
-        val ord = t(s, dir, "orders")
-          .filter(col("o_orderdate") >= lit("1995-06-01") &&
-            col("o_orderdate") < lit("1999-01-01"))
-        val li = t(s, dir, "lineitem")
-        val sup = t(s, dir, "supplier")
-        val asiaN = nation
-          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
-          .select(col("n_nationkey"), col("n_name"))
-        val custA = cust
-          .join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
           .select(col("c_custkey"), col("n_nationkey"))
           .cache()
-        custA.count()
+        custA.count() // materialize: joins below plan on true size
         val ordA = ord.select(col("o_orderkey"), col("o_custkey"))
           .join(custA, col("o_custkey") === col("c_custkey"))
           .select(col("o_orderkey"), col("n_nationkey"))
@@ -283,6 +230,9 @@ object Relational extends QueryModule {
             (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
               .cast(DecimalType(18, 4)).as("rev1"))
         liF
+          // shuffle_hash, not sort-merge: neither side's ordering is
+          // reusable downstream, so hashing the (smaller) orders side
+          // beats sorting both (partition-local build, AQE-skew-safe)
           .join(ordA.hint("shuffle_hash"),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("n_nationkey"))
