@@ -345,27 +345,40 @@ object Relational4 extends QueryModule {
     // The shape Q7 pins that no other gate covers: ONE fact joined
     // through TWO independent dimension paths (supplier→nation and
     // orders→customer→nation) with the group key assembled from both
-    // sides plus a derived year. Scale design: both nation joins
-    // broadcast a 25-row dim onto corpus-proportional sides
-    // (supplier/customer) BEFORE those sides meet the fact, so the
-    // lineitem scan shuffles exactly twice (suppkey, then orderkey) —
-    // never on a dim key — and the shipdate filter is pushed into the
-    // scan. The ~25·25·|years| output groups collapse map-side.
+    // sides plus a derived year. Scale design: both nation attaches
+    // happen BEFORE the fact's one big join — supN broadcast-joins
+    // lineitem in place, custN broadcast-joins orders in place — so
+    // the only corpus-scale exchange pair is the orderkey join, and
+    // the ~25·25·|years| output groups collapse map-side. (The first
+    // r8 form joined custN AFTER the orderkey join; that sort-merged
+    // the whole fact output on custkey — a third corpus-scale
+    // exchange — and benched 32.8 s vs DuckDB's 7.3 s at sf100.)
+    // Both nation-tagged dims are corpus-proportional, so they are
+    // NOT force-broadcast: cache+count materialization (the
+    // q3/q5/q41/t10 pattern) shows the size check their true ~25 B/row
+    // footprint, planning static broadcasts that degrade to shuffles
+    // at the corpus scale where a dim outgrows the threshold.
     "q62_nation_pairs" -> Q(
       (s, dir) => {
         val nation = t(s, dir, "nation")
           .select(col("n_nationkey"), col("n_name"))
+        // int nation KEYS ride the corpus-scale exchanges; the ~12 B
+        // name strings attach to the 1250-row aggregate at the end
+        // (two 25-row broadcasts) — same trick as q5's restructure
         val supN = t(s, dir, "supplier")
-          .select(col("s_suppkey"), col("s_nationkey"))
-          .join(broadcast(nation),
-            col("s_nationkey") === col("n_nationkey"))
-          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+          .select(col("s_suppkey"), col("s_nationkey")).cache()
+        supN.count() // materialize: the fact join plans on true size
         val custN = t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_nationkey"))
-          .join(broadcast(nation),
-            col("c_nationkey") === col("n_nationkey"))
-          .select(col("c_custkey"), col("n_name").as("cust_nation"))
-        val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+          .select(col("c_custkey"), col("c_nationkey")).cache()
+        custN.count()
+        // shuffle_hash, not sort-merge: neither side's custkey order
+        // is reusable downstream (the next join keys on orderkey), so
+        // hashing the dim side beats sorting 150M orders rows
+        val ordN = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(custN.hint("shuffle_hash"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_nationkey"))
         t(s, dir, "lineitem")
           .filter(col("l_shipdate") >= lit("1995-01-01") &&
             col("l_shipdate") < lit("1997-01-01"))
@@ -374,12 +387,20 @@ object Relational4 extends QueryModule {
             (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
               .cast(DecimalType(18, 4)).as("rev1"))
           .join(supN, col("l_suppkey") === col("s_suppkey"))
-          .join(ord.hint("shuffle_hash"),
+          .join(ordN.hint("shuffle_hash"),
             col("l_orderkey") === col("o_orderkey"))
-          .join(custN, col("o_custkey") === col("c_custkey"))
-          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+          .groupBy(col("s_nationkey"), col("c_nationkey"), col("l_year"))
           .agg(sum(col("rev1")).cast("double").as("revenue"),
             count(lit(1)).as("n_items"))
+          .join(broadcast(nation),
+            col("s_nationkey") === col("n_nationkey"))
+          .withColumnRenamed("n_name", "supp_nation")
+          .drop("n_nationkey")
+          .join(broadcast(nation.withColumnRenamed("n_name", "cust_nation")
+            .withColumnRenamed("n_nationkey", "cn_key")),
+            col("c_nationkey") === col("cn_key"))
+          .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+            col("revenue"), col("n_items"))
           .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
       },
       Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
