@@ -244,20 +244,24 @@ object Relational3 extends QueryModule {
           .select(col("o_orderpriority"))
         val hot = hotAgg.crossJoin(hotDim)
           .select(col("o_orderpriority"), col("n_part"), col("total_part"))
-        val coldAgg = li.filter(!isHot)
-          .groupBy(col("l_orderkey").as("k"))
-          .agg(count(lit(1)).as("n_part"),
-            sum(col("l_extendedprice").cast(DecimalType(18, 2)))
-              .as("total_part"))
         val coldDim = t(s, dir, "orders")
           .filter(col("o_orderkey") % 100 >= 30)
           .select(col("o_orderkey"), col("o_orderpriority"))
-        // unhinted by measurement (round 6): a pinned shuffle_hash
-        // build of the dim measured the same as sort-merge within
-        // sf100 noise — both sides are ~|orders| rows, so neither a
-        // broadcast nor a cheap hash build exists
-        val cold = coldAgg.join(coldDim, col("k") === col("o_orderkey"))
-          .select(col("o_orderpriority"), col("n_part"), col("total_part"))
+        // r8 restructure (the q3/q5 lesson applied): join RAW cold
+        // fact rows and aggregate to the 5 priority groups AFTER the
+        // join — the per-orderkey pre-aggregate built a ~|orders|-
+        // group hash table whose probe+GC cost exceeded the narrow
+        // rows' shuffle, and the 5-group aggregate collapses map-side
+        // (sf100 fresh-JVM A/B below). shuffle_hash on the dim: its
+        // custkey... orderkey ordering is reused by nothing, so
+        // sorting both ~|orders|-row sides pays for no one.
+        val cold = li.filter(!isHot)
+          .join(coldDim.hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_part"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+              .as("total_part"))
         hot.unionByName(cold)
           .groupBy(col("o_orderpriority"))
           .agg(sum(col("n_part")).as("n"),
