@@ -417,6 +417,40 @@ object Relational4 extends QueryModule {
         WHERE l_shipdate >= timestamp '1995-01-01'
           AND l_shipdate < timestamp '1997-01-01'
         GROUP BY supp_nation, cust_nation, l_year
-        ORDER BY supp_nation, cust_nation, l_year"""))
+        ORDER BY supp_nation, cust_nation, l_year""")),
+
+    // ─── q63: recursive CTE (WITH RECURSIVE, Spark 4.x) ───
+    // Iterative hierarchy walk — the org-chart/BOM query class no
+    // plain join chain expresses. The hierarchy is synthesized from
+    // the data deterministically: parent(c) = c div 10, roots are
+    // custkeys < 10, so every customer has one chain of depth
+    // ≈ log10(key). Scale shape: the engine runs one JOIN per
+    // recursion LEVEL (bounded by log10(maxkey) ≈ 7 at any corpus
+    // size), each level a key-equi-join of the frontier against the
+    // dimension — never a self-cross; depth growth, not row growth,
+    // bounds the iteration count.
+    "q63_recursive_cte" -> Q(
+      (s, dir) => {
+        t(s, dir, "customer").select(col("c_custkey"))
+          .createOrReplaceTempView("graft_cust_rec")
+        s.sql("""WITH RECURSIVE h(c, depth) AS (
+            SELECT c_custkey, 0 FROM graft_cust_rec WHERE c_custkey < 10
+            UNION ALL
+            SELECT k.c_custkey, h.depth + 1
+            FROM graft_cust_rec k JOIN h ON k.c_custkey div 10 = h.c
+            WHERE k.c_custkey >= 10)
+          SELECT cast(depth as bigint) AS depth, count(*) AS n,
+            cast(sum(c) as bigint) AS key_sum
+          FROM h GROUP BY depth ORDER BY depth""")
+      },
+      Some("""WITH RECURSIVE h(c, depth) AS (
+          SELECT c_custkey, 0 FROM customer WHERE c_custkey < 10
+          UNION ALL
+          SELECT k.c_custkey, h.depth + 1
+          FROM customer k JOIN h ON k.c_custkey // 10 = h.c
+          WHERE k.c_custkey >= 10)
+        SELECT cast(depth as bigint) AS depth, count(*) AS n,
+          cast(sum(c) as bigint) AS key_sum
+        FROM h GROUP BY depth ORDER BY depth"""))
   )
 }
