@@ -541,6 +541,66 @@ object LlmText extends QueryModule {
         FROM d, unnest(generate_series(0, (len(w) - 1) // 48)) AS t(k)
         ORDER BY doc_id, chunk_idx""")),
 
+    // ─── d10: chunk-granular dedup (t13 chunks × d1 group-min) ───
+    // Dedup at CHUNK granularity — the unit RAG indexes and span-
+    // aware pretraining dedup actually operate on: a 64-word window
+    // repeated across documents (boilerplate, quoted passages) is
+    // redundant even when the containing documents differ. Survivor =
+    // lexicographically-min (doc_id, chunk_idx) per chunk signature;
+    // output is the per-document redundancy profile (how many of my
+    // chunks are duplicates of an earlier chunk anywhere). Scale
+    // shape: the chunker is t13's narrow explode; the survivor choice
+    // is ONE hash exchange on the 16-byte signature (window group-min,
+    // the d1 form — signatures are near-unique so no skew); nothing
+    // ever compares chunk text.
+    "d10_chunk_dedup" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val W = 64
+        val H = 48
+        val chunks = t(s, dir, "documents")
+          .withColumn("words", split(norm(col("text")), " "))
+          .withColumn("k", explode(sequence(lit(0),
+            floor((size(col("words")) - 1) / H).cast("int"))))
+          .select(col("doc_id"), col("k").cast("long").as("chunk_idx"),
+            md5(array_join(
+              slice(col("words"), col("k") * H + 1, lit(W)), " "))
+              .as("sig"))
+        val wSig = Window.partitionBy(col("sig"))
+        chunks
+          .withColumn("keep_doc", min(col("doc_id")).over(wSig))
+          .withColumn("keep_idx", min(when(
+            col("doc_id") === col("keep_doc"), col("chunk_idx"))).over(wSig))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("doc_id") === col("keep_doc") &&
+              col("chunk_idx") === col("keep_idx"), 0L).otherwise(1L))
+              .as("n_dup_chunks"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH chunks AS (
+          SELECT doc_id, k AS chunk_idx,
+            md5(array_to_string(list_slice(
+              string_split($normSql, ' '), k * 48 + 1, k * 48 + 64), ' '))
+              AS sig
+          FROM documents,
+            unnest(generate_series(0,
+              (len(string_split($normSql, ' ')) - 1) // 48)) AS t(k)),
+        keep AS (
+          SELECT sig, min(doc_id) AS keep_doc FROM chunks GROUP BY sig),
+        keep2 AS (
+          SELECT c.sig, k.keep_doc, min(c.chunk_idx) AS keep_idx
+          FROM chunks c JOIN keep k ON c.sig = k.sig
+            AND c.doc_id = k.keep_doc
+          GROUP BY c.sig, k.keep_doc)
+        SELECT c.doc_id, count(*) AS n_chunks,
+          cast(sum(CASE WHEN c.doc_id = k.keep_doc
+                         AND c.chunk_idx = k.keep_idx
+                        THEN 0 ELSE 1 END) as bigint) AS n_dup_chunks
+        FROM chunks c JOIN keep2 k ON c.sig = k.sig
+        GROUP BY c.doc_id
+        ORDER BY c.doc_id""")),
+
     // ─── t14: blocklist filter (C4-style "bad words" pass) ───
     // Fraction of words hitting a static blocklist, plus the keep
     // verdict — the standard wordlist-filtering stage every web-scale

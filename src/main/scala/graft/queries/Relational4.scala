@@ -451,6 +451,35 @@ object Relational4 extends QueryModule {
           WHERE k.c_custkey >= 10)
         SELECT cast(depth as bigint) AS depth, count(*) AS n,
           cast(sum(c) as bigint) AS key_sum
-        FROM h GROUP BY depth ORDER BY depth"""))
+        FROM h GROUP BY depth ORDER BY depth""")),
+
+    // ─── q64: LATERAL correlated subquery join (Spark 4.x) ───
+    // Per-outer-row correlated top-n — the "for each region, its 2
+    // richest customers" shape. Catalyst DECORRELATES the lateral
+    // limit into a window-rank over the inner side joined once (a
+    // DomainJoin rewrite), so the plan is one corpus-scale pass, not
+    // |outer| re-executions — which is exactly why expressing it as
+    // LATERAL (instead of hand-writing the window) is safe at 100 TB.
+    "q64_lateral_topn" -> Q(
+      (s, dir) => {
+        t(s, dir, "region").createOrReplaceTempView("graft_q64_region")
+        t(s, dir, "nation").createOrReplaceTempView("graft_q64_nation")
+        t(s, dir, "customer").createOrReplaceTempView("graft_q64_customer")
+        s.sql("""SELECT r_name, c_custkey, c_acctbal
+          FROM graft_q64_region,
+            LATERAL (SELECT c_custkey, c_acctbal
+                     FROM graft_q64_customer
+                     JOIN graft_q64_nation ON c_nationkey = n_nationkey
+                     WHERE n_regionkey = r_regionkey
+                     ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
+          ORDER BY r_name, c_custkey""")
+      },
+      Some("""SELECT r_name, c_custkey, c_acctbal
+        FROM region,
+          LATERAL (SELECT c_custkey, c_acctbal
+                   FROM customer JOIN nation ON c_nationkey = n_nationkey
+                   WHERE n_regionkey = r_regionkey
+                   ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
+        ORDER BY r_name, c_custkey"""))
   )
 }
