@@ -91,7 +91,18 @@ object Bench {
     val totalOk = med.values.sum
     val total = if (failed.isEmpty) totalOk.toString else "null"
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"spread":$spread,"total_ok":$totalOk,"n_failed":${failed.size},"failed":$failedJson}""")
+    // Full-precision per-query map: its own line (local tooling reads
+    // this; at 125 queries it is ~5 KB and cannot fit the driver's
+    // 2000-char stdout tail window, which is why BENCH_r1..r8 all
+    // carry "parsed": null).
+    println(s"""{"metric":"queries_full","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"spread":$spread,"total_ok":$totalOk,"n_failed":${failed.size},"failed":$failedJson}""")
+    // Headline line LAST and compact (≤ ~1.5 KB): aggregates plus the
+    // 25 slowest queries at 3 decimals — everything a regression read
+    // needs, sized to survive the driver's tail capture intact.
+    def r3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val slow = ok.sortBy(n => -med(n)).take(25)
+      .map(n => "\"" + n + "\":" + r3(med(n))).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slow,"n_queries":${names.size},"queries_shown":"25 slowest of ${names.size}; full map on queries_full line","sf":"$sfDir","runs":$runs,"spread":${r3(spread)},"total_ok":${r3(totalOk)},"n_failed":${failed.size},"failed":$failedJson}""")
     spark.stop()
   }
 }

@@ -15,11 +15,11 @@ run_sf() {
   if [ -n "$excl" ]; then
     SPARK_DRIVER_MEM=64g SPARK_GRAFT_SF_DIR=$dir SPARK_GRAFT_CPUS=32 \
       SPARK_GRAFT_EXCLUDE=$excl sbt -batch "runMain graft.Bench" 2>/dev/null \
-      | grep -F '"metric"' | sed 's/^\[info\] //' > "$OUT/spark_$tag.json"
+      | grep -F '"metric":"queries_full"' | sed 's/^\[info\] //' > "$OUT/spark_$tag.json"
   else
     SPARK_DRIVER_MEM=64g SPARK_GRAFT_SF_DIR=$dir SPARK_GRAFT_CPUS=32 \
       sbt -batch "runMain graft.Bench" 2>/dev/null \
-      | grep -F '"metric"' | sed 's/^\[info\] //' > "$OUT/spark_$tag.json"
+      | grep -F '"metric":"queries_full"' | sed 's/^\[info\] //' > "$OUT/spark_$tag.json"
   fi
   echo "=== $tag duckdb ($(date +%H:%M:%S)) ==="
   GRAFT_EXCLUDE=$excl python3 tools/bench_duckdb.py $dir \

@@ -89,5 +89,66 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 
+def main_pandas(sf_dir, out_dir):
+    """Driver-parity mode (`--pandas`): the driver compares through
+    pandas frames (Spark parquet via pyarrow, oracle via duckdb .df()),
+    so representation differences that fetchall-equality forgives —
+    e.g. a Spark decimal column arriving as Decimal objects while
+    DuckDB decays decimal to float64 — flip its hash. This mode is
+    STRICTER than the driver: identical dtype kind + identical
+    canonical string repr per cell, so a pass here implies a driver
+    hash match."""
+    import pandas as pd
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    only = sys.argv[3:] or None
+
+    def canon_df(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        cells = df.astype(object).where(df.notna(), None)
+        rows = sorted(
+            [tuple(repr(norm(v)) for v in r) for r in cells.itertuples(index=False)])
+        # dtype KIND (i/u/f/O/b/M), not exact width: int32-vs-int64 hashes
+        # identically in pandas, float-vs-object (Decimal) does not
+        return list(df.columns), [t.kind for t in df.dtypes], rows
+
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            got = pd.read_parquet(f"{out_dir}/{name}")
+            exp = con.execute(sql).df()
+            gc, gt, g = canon_df(got)
+            ec, et, e = canon_df(exp)
+        except Exception as exc:
+            print(f"FAIL {name}: {exc}")
+            n_fail += 1
+            continue
+        if gc != ec:
+            print(f"FAIL {name}: columns {gc} != {ec}")
+        elif gt != et:
+            print(f"FAIL {name}: dtypes {list(zip(gc, gt))} != {list(zip(ec, et))}")
+        elif len(g) != len(e):
+            print(f"FAIL {name}: rows {len(g)} != {len(e)}")
+        elif g != e:
+            bad = next(i for i in range(len(g)) if g[i] != e[i])
+            print(f"FAIL {name}: first diff row {bad}:\n  got {g[bad]}\n  exp {e[bad]}")
+        else:
+            print(f"PASS {name} ({len(g)} rows, pandas-parity)")
+            n_pass += 1
+            continue
+        n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail (pandas-parity)")
+    return 1 if n_fail else 0
+
+
 if __name__ == "__main__":
+    if "--pandas" in sys.argv:
+        sys.argv.remove("--pandas")
+        sys.exit(main_pandas(sys.argv[1], sys.argv[2]))
     sys.exit(main(sys.argv[1], sys.argv[2]))
