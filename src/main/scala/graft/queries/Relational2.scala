@@ -249,15 +249,36 @@ object Relational2 extends QueryModule {
         GROUP BY l_returnflag
         ORDER BY l_returnflag""")),
 
-    // ─── q27b: approximate count-distinct (HLL; engine-specific → rows-only) ───
+    // ─── q27b: approximate count-distinct (HLL) ───
+    // Driver-gated since r9: the HLL estimate itself is
+    // engine-specific (Spark's dense HLL++ vs DuckDB's sketch would
+    // never hash-match), so the gate emits the EXACT distinct count
+    // plus a within-2%-relative-error verdict on the estimate — the
+    // oracle recomputes the exact count and asserts the verdict true.
+    // A broken HLL (or a silently swapped column) flips approx_ok and
+    // goes red; the estimate is deterministic for fixed data. rsd=0.01
+    // (vs the 0.05 default, which lands 2.7% off at this cardinality):
+    // the sketch precision is the accuracy dial, the gate tolerance
+    // stays a meaningful 2%. Still one aggregate pass: exact+approx
+    // share the same partial HashAggregate.
     "q27b_approx_countd" -> Q(
       (s, dir) => {
         t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
-          approx_count_distinct(col("l_partkey")).as("approx_ndp"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_ndp"),
+          countDistinct(col("l_partkey")).as("exact_ndp"),
           count(lit(1)).as("n"))
+          .select(col("l_returnflag"), col("exact_ndp"), col("n"),
+            (abs(col("approx_ndp") - col("exact_ndp"))
+              <= col("exact_ndp") * 0.02).as("approx_ok"))
           .orderBy(col("l_returnflag"))
       },
-      None),
+      Some("""SELECT l_returnflag,
+          count(DISTINCT l_partkey) AS exact_ndp,
+          count(*) AS n,
+          true AS approx_ok
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
 
     // ─── q28: chained CTEs ───
     "q28_cte" -> Q(

@@ -13,10 +13,12 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   test("every declared query has either an oracle or a documented reason") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // rows-only by design: engine-specific hashing / approximation
-    assert(noOracle == Set("q27b_approx_countd", "d2_dedup_minhash",
-      "d4_dedup_simhash", "d5b_embed_neardup_lsh", "s2_ann_lsh",
-      "s3_ann_ivf", "d11_semdedup", "s4_knn_graph"))
+    // r9: every approximate key is driver-gated — either its exact-
+    // verification stage IS the output (d2, d4, d5b, d11, s2, q27b)
+    // or a companion recall gate covers it (s3 → s3b, s4 → s4b). The
+    // two remaining no-oracle keys are the raw approximate results
+    // themselves, whose health the driver sees through the gates.
+    assert(noOracle == Set("s3_ann_ivf", "s4_knn_graph"))
   }
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {

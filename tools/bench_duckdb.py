@@ -35,9 +35,21 @@ def main(sf_dir, oracle_path, runs=3):
     excl = [p for p in os.environ.get("GRAFT_EXCLUDE", "").split(",") if p]
     # GRAFT_ONLY mirrors SPARK_GRAFT_ONLY: restrict to these prefixes
     only = [p for p in os.environ.get("GRAFT_ONLY", "").split(",") if p]
+    # Gate-scale-only oracles: these r9 driver gates verify approximate
+    # operators by recomputing the EXACT answer quadratically (all-pairs
+    # jaccard / all-pairs cosine over the full table). Correct and cheap
+    # at the sf0.01 correctness gate; structurally infeasible as a
+    # timing replay at protocol SFs, where the Spark side keeps running
+    # them (they land in the no-oracle bucket of mk_baseline, like any
+    # Spark-only key). Override with GRAFT_INCLUDE_QUADRATIC=1.
+    quadratic = {"d2_dedup_minhash", "d4_dedup_simhash",
+                 "d5b_embed_neardup_lsh", "d11_semdedup"}
+    if os.environ.get("GRAFT_INCLUDE_QUADRATIC") == "1":
+        quadratic = set()
     names = sorted(n for n in oracle
                    if not any(n.startswith(p) for p in excl)
-                   and (not only or any(n.startswith(p) for p in only)))
+                   and (not only or any(n.startswith(p) for p in only))
+                   and n not in quadratic)
     for name in names:  # warm-up (OS page cache, duckdb readers)
         con.execute(oracle[name]).fetchall()
     samples = {n: [] for n in names}
