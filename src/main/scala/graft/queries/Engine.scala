@@ -109,8 +109,16 @@ object Engine extends QueryModule {
         assert(cat.fs.listStatus(cat.relationPath("", "li_frag"))
           .count(_.getPath.getName.endsWith(".parquet")) == 32,
           "compaction must leave 32 part files")
-        cat.createTableClusteredBy("", "li_clustered",
-          cat.table("", "li_frag"), numFiles = 32,
+        // r9: partition-at-a-time clustering (ship YEAR partitions,
+        // range-clustered on ship date inside each) instead of the
+        // whole-table one-job rewrite — transient scratch is bounded
+        // by one partition, which is what let this gate finally run
+        // at sf100 (the whole-table form needed ~65 GB scratch; its
+        // path stays pinned by CoreSpec's clustered-write spec).
+        cat.clusterPartitions("", "li_clustered",
+          cat.table("", "li_frag")
+            .withColumn("l_shipyear", year(col("l_shipdate"))),
+          partCol = "l_shipyear", numFilesPerPart = 8,
           clusterCols = Seq("l_shipdate"))
         cat.table("", "li_clustered")
           .filter(col("l_shipdate") >= lit("1997-01-01") &&

@@ -254,9 +254,18 @@ object LlmPipeline extends QueryModule {
         // pipeline — exchange reuse does not cover it — which costs
         // more than this one extra narrow count scan).
         val docs = t(s, dir, "documents")
+        // r9: the exchange key is xxhash64(word), not the word — the
+        // score needs only per-token counts, so shipping raw strings
+        // through the groupBy and join exchanges both ways (the r8
+        // profile's dominant cost) buys nothing. An 8-byte long key
+        // hashes/compares faster and shrinks both shuffles; a 64-bit
+        // collision (≈ vocab²/2⁶⁵) would merge two words' counts and
+        // go loudly red against the string-keyed oracle rather than
+        // silently skew.
         val toks = docs.select(col("doc_id"),
           explode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))),
             " ")).as("w"))
+          .select(col("doc_id"), xxhash64(col("w")).as("w"))
         // cache+count-materialized (r8, the q3/q5/q41 pattern): the
         // vocab is sublinear (Heaps' law) but Catalyst's no-CBO
         // estimate for the groupBy output is input-sized, which forced

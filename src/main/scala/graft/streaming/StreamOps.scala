@@ -220,7 +220,7 @@ object StreamOps extends QueryModule {
     */
   def clickPurchaseJoin(s: SparkSession, dir: String, schemaFrom: String,
       glob: String, maxFilesPerTrigger: Option[Int], watermark: String,
-      queryName: String): DataFrame = {
+      queryName: String, sinkDir: Option[String] = None): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(schemaFrom).schema
     def src: DataFrame = {
@@ -249,13 +249,34 @@ object StreamOps extends QueryModule {
         col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("INTERVAL 2 HOURS"))
     s.streams.active.filter(_.name == queryName).foreach(_.stop())
-    val query = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .start()
+    // The gate drains through a memory sink (fine for its bounded
+    // output, NOT a pattern for a real pipeline); sinkDir instead
+    // lands every micro-batch in a durable parquet sink with a
+    // checkpoint — exactly-once via the sink's commit log, the shape
+    // a 100 TB attribution stream actually ships with. StreamJoinSpec
+    // replays multi-batch through both.
+    val query = sinkDir match {
+      case Some(out) =>
+        joined.writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ckpt")
+          .queryName(queryName)
+          .start()
+      case None =>
+        joined.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(queryName)
+          .start()
+    }
     try query.processAllAvailable() finally query.stop()
-    s.table(queryName)
+    val raw = sinkDir match {
+      case Some(out) => s.read.schema(joined.schema).parquet(s"$out/data")
+      case None => s.table(queryName)
+    }
+    raw
       .select(col("c_user").as("user_id"), col("click_id"),
         col("purchase_id"),
         expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000")

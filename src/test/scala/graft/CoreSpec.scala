@@ -516,3 +516,68 @@ class DataTestsSpec extends AnyFunSuite {
     assert(orphans.toSeq == Seq(9))
   }
 }
+
+/** Clustered materializations: the whole-table range rewrite (one job,
+  * non-overlapping file ranges) and the partition-at-a-time form the
+  * sf100 compaction gate runs (scratch bounded by one partition).
+  */
+class ClusteredWriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshCatalog(name: String): Catalog = {
+    val dir = Files.createTempDirectory(s"graft_test_$name")
+    new Catalog(spark, dir.toString)
+  }
+
+  test("createTableClusteredBy: disjoint sorted ranges across files") {
+    val cat = freshCatalog("clustered")
+    import spark.implicits._
+    val df = (0 until 1000).map(i => ((i * 7919) % 1000, s"v$i"))
+      .toDF("k", "v")
+    cat.createTableClusteredBy("", "t", df, numFiles = 4, Seq("k"))
+    val perFile = cat.table("", "t")
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("k")).as("lo"), max(col("k")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(perFile.length == 4, s"expected 4 files: ${perFile.toSeq}")
+    assert(perFile.map(_._3).sum == 1000)
+    perFile.sliding(2).foreach { case Array((_, hi1, _), (lo2, _, _)) =>
+      assert(hi1 <= lo2, s"file ranges overlap: ${perFile.toSeq}")
+    }
+    assert(cat.table("", "t").count() == 1000)
+  }
+
+  test("clusterPartitions: hive partitions, per-partition clustering, " +
+      "content parity, cardinality guard") {
+    val cat = freshCatalog("clusterpart")
+    import spark.implicits._
+    val df = (0 until 900).map(i => (i % 3, (i * 7919) % 1000, s"v$i"))
+      .toDF("p", "k", "v")
+    cat.clusterPartitions("", "t", df, partCol = "p",
+      numFilesPerPart = 2, clusterCols = Seq("k"))
+    // hive layout: one directory per partition value
+    val dirs = cat.fs.listStatus(cat.relationPath("", "t"))
+      .filter(_.isDirectory).map(_.getPath.getName).sorted
+    assert(dirs.toSeq == Seq("p=0", "p=1", "p=2"), dirs.toSeq)
+    // full content parity with the input
+    val got = cat.table("", "t").select(col("p"), col("k"), col("v"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    val exp = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == exp)
+    // partition pruning: a p-filter scans only that directory's files
+    val scanned = cat.table("", "t").filter(col("p") === 1)
+      .select(input_file_name()).distinct().collect()
+      .map(_.getString(0))
+    assert(scanned.nonEmpty && scanned.forall(_.contains("p=1")),
+      s"partition filter must prune to p=1 files: ${scanned.toSeq}")
+    // high-cardinality partition key fails loudly instead of looping
+    val wide = (0 until 600).map(i => (i, i)).toDF("p", "k")
+    val e = intercept[IllegalArgumentException] {
+      cat.clusterPartitions("", "bad", wide, "p", 1, Seq("k"))
+    }
+    assert(e.getMessage.contains(">512"))
+  }
+}

@@ -49,5 +49,21 @@ class StreamJoinSpec extends AnyFunSuite {
         s"${expected.size}; missing=${(expected -- got).take(3)} " +
         s"extra=${(got -- expected).take(3)}")
     assert(expected.nonEmpty, "degenerate spec: batch join is empty")
+
+    // Durable-sink variant (r9): same multi-batch replay, but each
+    // micro-batch commits to a parquet file sink with a checkpoint —
+    // the memory sink above is gate-only plumbing, this is the shape a
+    // real pipeline ships with. The read-back must match batch too.
+    val sink = java.nio.file.Files.createTempDirectory("graft_q61_fs")
+      .toString
+    val gotFile = StreamOps.clickPurchaseJoin(spark, tmp, tmp,
+        glob = "*.parquet", maxFilesPerTrigger = Some(1),
+        watermark = "40 days", queryName = "graft_q61_fs_sink",
+        sinkDir = Some(sink))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotFile == expected,
+      s"parquet-sink stream join diverged: ${gotFile.size} pairs vs " +
+        s"batch ${expected.size}; missing=${(expected -- gotFile).take(3)} " +
+        s"extra=${(gotFile -- expected).take(3)}")
   }
 }
