@@ -10,6 +10,11 @@ import sys
 
 ENGINE_GATES = ("c_",)
 TEST_GATES = ("t_",)
+# r9 companion recall gates: the Spark side recomputes exact ground
+# truth to grade an approximate operator; the oracle merely asserts
+# the verdict (a count + TRUE). Like c_ gates, their ratio measures
+# nothing — kept in their own category.
+RECALL_GATES = ("s3b_ivf_recall_gate", "s4b_knn_recall_gate")
 
 HEADER = """# BASELINE — reference (DuckDB) vs graft (Spark) on identical data
 
@@ -70,14 +75,22 @@ def classify(name):
         return "engine"
     if name.startswith(TEST_GATES):
         return "test"
+    if name in RECALL_GATES:
+        return "recall"
     return "read"
 
 
 def section(sf, spark, duck):
-    common = sorted(set(spark["queries"]) & set(duck["queries"]))
+    # a failed query reports null on its side — keep it out of every
+    # sum (it would crash or silently shrink the total) and call it out
+    nulled = sorted(q for q in set(spark["queries"]) | set(duck["queries"])
+                    if spark["queries"].get(q) is None
+                    or (q in duck["queries"] and duck["queries"][q] is None))
+    common = sorted((set(spark["queries"]) & set(duck["queries"]))
+                    - set(nulled))
     rows = []
     sums = {}
-    for cat in ("read", "test", "engine"):
+    for cat in ("read", "test", "engine", "recall"):
         qs = [q for q in common if classify(q) == cat]
         sp = sum(spark["queries"][q] for q in qs)
         du = sum(duck["queries"][q] for q in qs)
@@ -87,7 +100,8 @@ def section(sf, spark, duck):
     out.append("|---|---|---|---|---|")
     total_sp = total_du = 0.0
     for cat, label in (("read", "read queries"), ("test", "t_ data tests"),
-                       ("engine", "c_ engine gates (Spark writes, DuckDB reads)")):
+                       ("engine", "c_ engine gates (Spark writes, DuckDB reads)"),
+                       ("recall", "recall gates (Spark grades itself, oracle asserts)")):
         n, sp, du = sums[cat]
         if n == 0:  # category excluded at this sf (e.g. c_ at sf100)
             continue
@@ -97,12 +111,17 @@ def section(sf, spark, duck):
                    f"{sp / du:.2f}x |")
     out.append(f"| **all oracled** | {len(common)} | {total_sp:.2f} | "
                f"{total_du:.2f} | {total_sp / total_du:.2f}x |")
-    nsp = [q for q in spark["queries"] if q not in duck["queries"]]
+    nsp = [q for q in spark["queries"]
+           if q not in duck["queries"] and spark["queries"][q] is not None
+           and q not in nulled]
     out.append(
         f"\nSpark additionally runs {len(nsp)} no-oracle queries "
         f"({', '.join(sorted(nsp))}) totalling "
         f"{sum(spark['queries'][q] for q in nsp):.2f} s, with no DuckDB "
         f"equivalent to compare against.\n")
+    if nulled:
+        out.append(f"FAILED at this SF (excluded from every sum): "
+                   f"{', '.join(nulled)}.\n")
     out.append(f"Spark bench spread (max over queries of (max-min)/median): "
                f"{spark.get('spread', 0):.2f}; DuckDB replay spread: "
                f"{duck.get('spread', 0):.2f}. Failed queries: "
