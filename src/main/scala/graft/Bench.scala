@@ -50,24 +50,42 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(n => excl.exists(n.startsWith))
       .filter(n => only.isEmpty || only.exists(n.startsWith))
-    if (warmup) {
-      names.foreach { name =>
+    // Query-major measurement (r9; was run-major): warm up a query,
+    // time its `runs` passes back-to-back, then drop the app's scratch
+    // root before moving on. Gates recreate their scratch databases on
+    // every invocation, so transient disk is bounded by ONE gate's
+    // footprint instead of the whole suite's accumulation — the
+    // difference between c_compact_cluster fitting at sf100 (its two
+    // lineitem copies alone are ~27 GB) and dying on a full disk under
+    // 43 GB of other gates' dead tables. Per-query medians are
+    // unchanged in meaning; back-to-back passes also sample less
+    // cross-query JIT/GC interference than the interleaved order did.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    val perQuery: Map[String, Seq[Double]] = names.map { name =>
+      if (warmup) {
         try SparkEntry.queries(name)(spark, sfDir).count()
         catch { case _: Throwable => () }
       }
-    }
-    val failed = scala.collection.mutable.LinkedHashSet[String]()
-    val samples: Seq[Map[String, Double]] = (1 to runs).map { _ =>
-      names.map { name =>
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir).count()
         catch { case e: Throwable =>
           failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
-      }.toMap
-    }
+        (System.nanoTime() - t0) / 1e9
+      }
+      graft.queries.Q.cleanScratch(spark)
+      // Shuffle files are reaped by ContextCleaner only when the
+      // driver GCs — a 64 GB heap can go many corpus-scale queries
+      // without one, stacking tens of GB of dead shuffle data (the
+      // second sf100 disk-pressure source after scratch). One explicit
+      // GC per query, outside every timed window, keeps the floor flat.
+      System.gc()
+      name -> times
+    }.toMap
+    val samples: Seq[Map[String, Double]] =
+      (0 until runs).map(i => names.map(n => n -> perQuery(n)(i)).toMap)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)

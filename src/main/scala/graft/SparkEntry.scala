@@ -16,6 +16,7 @@ object SparkEntry {
     graft.queries.Relational2,
     graft.queries.Relational3,
     graft.queries.Relational4,
+    graft.queries.Relational5,
     graft.queries.LlmText,
     graft.queries.LlmSim,
     graft.queries.LlmCluster,

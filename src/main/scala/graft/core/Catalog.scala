@@ -281,8 +281,21 @@ final class Catalog(val spark: SparkSession, val database: String) {
     * increment, LIMIT 1 — aggregates reach the driver, never rows);
     * nothing quadratic, nothing driver-side.
     */
+  /** Merge (upsert) `df` into the relation on `uniqueKey`.
+    *
+    * `updateCondition` (optional) is a SQL boolean over aliases `t`
+    * (target row) and `i` (incoming row) gating the UPDATE branch —
+    * warehouse `WHEN MATCHED AND <cond> THEN UPDATE` semantics. A
+    * matched row failing the condition keeps ALL target values. This
+    * is what makes latest-state-by-key ingestion batch-order
+    * INVARIANT: with `i.ts > t.ts` (plus a total-order tiebreak) the
+    * final table is the global per-key argmax however the stream was
+    * micro-batched — unconditional update would instead keep
+    * whichever batch happened to arrive last.
+    */
   def createTableMerge(schema: String, tableName: String, df: DataFrame,
-      uniqueKey: Seq[String], updateColumns: Seq[String] = Seq.empty): Unit = {
+      uniqueKey: Seq[String], updateColumns: Seq[String] = Seq.empty,
+      updateCondition: Option[String] = None): Unit = {
     if (!listRelations(schema).contains(tableName))
       createTableAs(schema, tableName, df)
     else {
@@ -305,15 +318,21 @@ final class Catalog(val spark: SparkSession, val database: String) {
       val cond = uniqueKey.map(k => col(s"t.$k") === col(s"i.$k"))
         .reduce(_ && _)
       val updSet = upd.toSet
+      // match alone fires the update unless a WHEN MATCHED AND
+      // condition narrows it (expr over the t/i aliases)
+      val doUpdate = updateCondition
+        .map(c => col(matchFlag) && expr(c)).getOrElse(col(matchFlag))
       val merged = tA.join(iA, cond, "left_outer").select(
         tgt.columns.toSeq.map { c =>
           if (updSet.contains(c) && inc.columns.contains(c))
-            when(col(matchFlag), col(s"i.$c")).otherwise(col(s"t.$c")).as(c)
+            when(doUpdate, col(s"i.$c")).otherwise(col(s"t.$c")).as(c)
           else col(s"t.$c").as(c)
         } ++ incOnly.map { c =>
           // drift column the UPDATE SET clause doesn't list: matched
           // target rows keep NULL, same as warehouse MERGE
-          (if (updSet.contains(c)) col(s"i.$c")
+          (if (updSet.contains(c))
+             when(doUpdate, col(s"i.$c"))
+               .otherwise(lit(null).cast(inc.schema(c).dataType))
            else lit(null).cast(inc.schema(c).dataType)).as(c)
         }: _*)
       val inserts = inc.join(
@@ -504,6 +523,23 @@ final class Catalog(val spark: SparkSession, val database: String) {
       .partitionBy(partitionCols: _*)
       .parquet(relationPath(schema, tableName).toString)
     register(schema, tableName)
+  }
+
+  /** Run `body` with `spark.sql.files.maxRecordsPerFile` pinned, then
+    * restore the previous value. The shuffle-free way to control
+    * output file sizing: repartition(n) before a write costs a full
+    * exchange of the table; chopping each write task's output does
+    * not. (The conf is session-scoped, hence the save/restore.)
+    */
+  def withMaxRecordsPerFile[A](records: Long)(body: => A): A = {
+    val key = "spark.sql.files.maxRecordsPerFile"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, records.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Compact a relation to `numFiles` part files — the maintenance op

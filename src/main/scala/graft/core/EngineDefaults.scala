@@ -39,4 +39,9 @@ object EngineDefaults {
     // hermetic-FS test target (reference connections.py `mem://`):
     // catalogs over mem://ns/db run fully in-JVM — see MemFileSystem
     .config("spark.hadoop.fs.mem.impl", classOf[MemFileSystem].getName)
+    // shuffle/broadcast files are reference-tracked and reaped only on
+    // driver GC; with a large heap a write-heavy suite can stack tens
+    // of GB of dead shuffle files between natural GCs (observed at
+    // sf100: ~31 GB). The periodic-GC floor bounds that lag.
+    .config("spark.cleaner.periodicGC.interval", "2min")
 }

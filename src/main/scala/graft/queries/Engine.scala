@@ -97,14 +97,22 @@ object Engine extends QueryModule {
     "c_compact_cluster" -> Q(
       (s, dir) => {
         val cat = new Catalog(s, Q.scratch(s, "compact"))
+        cat.dropRelation("", "li_clustered") // no stale copy across reruns
         // simulate a fragmented table (many small files), compact it,
         // then re-materialize clustered by ship date. The compaction
         // target matches the write parallelism (32 = one file per
         // core here; on a cluster, pick total-bytes/target-file-size):
         // compacting 60M rows into 4 files would leave 7/8 of the
-        // cores idle through two full rewrites.
-        cat.createTableAs("", "li_frag",
-          t(s, dir, "lineitem").repartition(96))
+        // cores idle through two full rewrites. Fragmentation is
+        // produced by chopping the write (maxRecordsPerFile), NOT by a
+        // repartition: the setup is not what the gate measures, and at
+        // sf100 that third full-table shuffle's transient files were
+        // ~13 GB of the disk budget per pass.
+        val li = t(s, dir, "lineitem")
+        val nRows = li.count()
+        cat.withMaxRecordsPerFile((nRows / 96 + 1).max(1L)) {
+          cat.createTableAs("", "li_frag", li)
+        }
         cat.compact("", "li_frag", 32)
         assert(cat.fs.listStatus(cat.relationPath("", "li_frag"))
           .count(_.getPath.getName.endsWith(".parquet")) == 32,
@@ -120,6 +128,10 @@ object Engine extends QueryModule {
             .withColumn("l_shipyear", year(col("l_shipdate"))),
           partCol = "l_shipyear", numFilesPerPart = 8,
           clusterCols = Seq("l_shipdate"))
+        // The fragmented copy is dead once the clustered table exists;
+        // dropping it here (not at harness cleanup) halves this gate's
+        // steady scratch — at sf100 that is ~13 GB back per pass.
+        cat.dropRelation("", "li_frag")
         cat.table("", "li_clustered")
           .filter(col("l_shipdate") >= lit("1997-01-01") &&
             col("l_shipdate") < lit("1997-07-01"))

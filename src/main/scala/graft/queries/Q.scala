@@ -44,6 +44,22 @@ object Q {
     fs.makeQualified(p).toString
   }
 
+  /** Delete this application's entire scratch root. Every gate
+    * recreates its own scratch database on invocation (drop-first /
+    * overwrite semantics), so a harness may call this between gates to
+    * bound transient disk to ONE gate's footprint instead of the whole
+    * suite's accumulation — at sf100 the 19 engine write gates
+    * otherwise stack ~43 GB of dead tables under the live one.
+    */
+  def cleanScratch(spark: SparkSession): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = sys.env.getOrElse("GRAFT_SCRATCH_ROOT",
+      "file:" + System.getProperty("java.io.tmpdir"))
+    val p = new Path(root, s"graft_${spark.sparkContext.applicationId}")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+  }
+
   /** Read the events table, normalizing its TIMESTAMP(NANOS) `ts`
     * column (which Spark's vectorized parquet reader rejects) to a
     * microsecond TimestampType column — the same truncation DuckDB

@@ -429,8 +429,16 @@ object Relational4 extends QueryModule {
     // size), each level a key-equi-join of the frontier against the
     // dimension — never a self-cross; depth growth, not row growth,
     // bounds the iteration count.
+    //
+    // Spark guards runaway recursion with a 1M-row accumulator cap
+    // (spark.sql.cteRecursionRowLimit). This walk emits each customer
+    // exactly once (|customer| total rows — 1.5M at sf10, 15M at
+    // sf100), so the default cap trips on row VOLUME, not on depth;
+    // raise it to the data scale. The real safety net here is the
+    // level limit (depth ≈ log10(maxkey) ≤ 9), which stays default.
     "q63_recursive_cte" -> Q(
       (s, dir) => {
+        s.conf.set("spark.sql.cteRecursionRowLimit", (1 << 30).toString)
         t(s, dir, "customer").select(col("c_custkey"))
           .createOrReplaceTempView("graft_cust_rec")
         s.sql("""WITH RECURSIVE h(c, depth) AS (

@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-9 additions: reshape (unpivot), time-series gap filling, and
+  * BM25 keyword retrieval. Reference scope: these are plain SELECT
+  * capability in the reference's engine dialect
+  * (/root/reference/dbt/include/parquet/macros/adapters.sql runs any
+  * model SQL through `copy (<sql>) to ...`); re-expressed here as
+  * declarative DataFrame programs with the scale shape annotated.
+  */
+object Relational5 extends QueryModule {
+  import Q.{t, events}
+
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+  private def dsumSql(expr: String, scale: Int = 2): String =
+    s"cast(sum(cast($expr as decimal(18,$scale))) as double)"
+
+  def queries: Map[String, Q] = Map(
+
+    // ─── q65: unpivot / melt (wide → long reshape) ───
+    // The inverse of q34's pivot: a |groups|-row aggregate fans its
+    // measure COLUMNS out as rows. Scale shape: the unpivot itself is
+    // a narrow projection (each row expands to |measures| rows with
+    // no exchange); the only shuffle is the aggregate that feeds it.
+    // The oracle uses the portable UNION ALL form — identical
+    // semantics, and it keeps the gate honest about column naming.
+    "q65_unpivot" -> Q(
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_price"),
+            dsum(col("l_discount")).as("sum_disc"))
+          .unpivot(
+            Array(col("l_returnflag")),
+            Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+            "measure", "val")
+          .orderBy(col("l_returnflag"), col("measure"))
+      },
+      Some(s"""WITH a AS (
+          SELECT l_returnflag,
+            ${dsumSql("l_quantity")} AS sum_qty,
+            ${dsumSql("l_extendedprice")} AS sum_price,
+            ${dsumSql("l_discount")} AS sum_disc
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM a
+        UNION ALL
+        SELECT l_returnflag, 'sum_price' AS measure, sum_price AS val FROM a
+        UNION ALL
+        SELECT l_returnflag, 'sum_disc' AS measure, sum_disc AS val FROM a
+        ORDER BY l_returnflag, measure""")),
+
+    // ─── q66: gap fill / LOCF (last observation carried forward) ───
+    // The time-series imputation primitive: only purchase events carry
+    // a meaningful reading here, and every event row gets the latest
+    // purchase value seen so far for its user — last_value IGNORE
+    // NULLS over a running frame. Scale shape: ONE shuffle on user_id
+    // plus an in-partition sort; the frame is running (not sliding),
+    // so Spark evaluates it in a single pass with O(1) state per row.
+    // (ts, event_id) ordering makes the fill deterministic under
+    // same-timestamp events in both engines.
+    "q66_gap_fill" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, dir)
+          .withColumn("reading",
+            when(col("event_type") === "purchase", col("value")))
+          .select(
+            col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("event_id"),
+            last(col("reading"), ignoreNulls = true).over(w).as("filled"))
+          .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+      },
+      Some("""SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+          last_value(CASE WHEN event_type = 'purchase' THEN value END
+              IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS filled
+        FROM events
+        ORDER BY user_id, ts_us, event_id""")),
+
+    // ─── t17: BM25 keyword retrieval scoring ───
+    // Okapi BM25 (Robertson et al.; the Lucene +1 idf form, always
+    // positive) of every document against a fixed query term set —
+    // the lexical half of a retrieval / RAG stack, and the classic
+    // inverted-index computation expressed relationally. Scale shape:
+    //   - corpus stats (N, avgdl) are ONE 1-row aggregate broadcast
+    //     back (scalar cross join);
+    //   - the explode is narrow and the WHERE term IN (...) lands
+    //     BEFORE any exchange, so only matching (doc, term) pairs —
+    //     not the corpus token stream — ever shuffle;
+    //   - df is a |terms|-row aggregate joined back by size-checked
+    //     broadcast;
+    //   - doc lengths ride the same pre-aggregated (doc, dl) rows.
+    // Scores are summed over ≤|terms| doubles per doc and rounded to
+    // 6 decimals on both sides (t16's convention) so engine-order ulp
+    // drift cannot split the hash. Output is the full scored set
+    // ordered by doc_id: ranking stability under float ties is the
+    // caller's concern (s1/q9 pin deterministic top-k elsewhere).
+    "t17_bm25" -> Q(
+      (s, dir) => {
+        val terms = Seq("spark", "window", "hash", "stream", "vector")
+        val k1 = 1.2
+        val b = 0.75
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"),
+            split(lower(trim(regexp_replace(col("text"), "\\s+", " "))),
+              " ").as("words"))
+        val len = docs.select(col("doc_id"),
+          size(col("words")).cast("double").as("dl"))
+        val stats = len.agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          (sum(col("dl").cast("long")).cast("double") /
+            count(lit(1))).as("avgdl"))
+        val tf = docs
+          .select(col("doc_id"), explode(col("words")).as("term"))
+          .filter(col("term").isin(terms: _*))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).cast("double").as("tf"))
+        val df = tf.groupBy(col("term"))
+          .agg(count(lit(1)).cast("double").as("df"))
+        tf.join(df, "term")
+          .join(len, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("contrib",
+            log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+              * col("tf") * (k1 + 1.0)
+              / (col("tf") +
+                lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .groupBy(col("doc_id"))
+          .agg(round(sum(col("contrib")), 6).as("bm25"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id,
+            string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+              ' ') AS words
+          FROM documents),
+        len AS (
+          SELECT doc_id, cast(len(words) as double) AS dl FROM d),
+        stats AS (
+          SELECT cast(count(*) as double) AS n_docs,
+            cast(sum(cast(dl as bigint)) as double) / count(*) AS avgdl
+          FROM len),
+        tf AS (
+          SELECT doc_id, w AS term, cast(count(*) as double) AS tf
+          FROM d, unnest(words) AS u(w)
+          WHERE w IN ('spark', 'window', 'hash', 'stream', 'vector')
+          GROUP BY doc_id, w),
+        idf AS (
+          SELECT term, cast(count(*) as double) AS df FROM tf
+          GROUP BY term)
+        SELECT tf.doc_id,
+          round(sum(
+            ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+              * tf * (1.2 + 1.0)
+              / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+        FROM tf
+        JOIN idf USING (term)
+        JOIN len USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+        ORDER BY tf.doc_id"""))
+  )
+}

@@ -207,8 +207,88 @@ object StreamOps extends QueryModule {
           ON c.user_id = p.user_id
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
-        ORDER BY c.user_id, click_id, purchase_id"""))
+        ORDER BY c.user_id, click_id, purchase_id""")),
+
+    // ─── streaming upsert ingest (stream_merge) ───
+    // The canonical production landing pattern: a stream drains
+    // through foreachBatch, each micro-batch upserting per-key LATEST
+    // state into a catalog table via conditional merge (WHEN MATCHED
+    // AND incoming-is-newer THEN UPDATE). The condition — not the
+    // batch order — decides who wins, so the final table equals the
+    // global per-user argmax however the source was micro-batched;
+    // StreamMergeSpec replays one-file-per-trigger over a shuffled
+    // multi-file corpus to prove exactly that. Scale shape: each
+    // batch contributes one |users-in-batch|-row aggregate, and the
+    // merge joins that against the state table on its key — state
+    // stays key-cardinality-sized, never corpus-sized.
+    "q67_stream_merge" -> Q(
+      (s, dir) => latestStateMerge(s, dir, s"$dir/events.parquet",
+        glob = "events.parquet", maxFilesPerTrigger = None,
+        queryName = "graft_q67_sink", scratchName = "smerge"),
+      Some("""SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+          event_type, value
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1
+        ORDER BY user_id"""))
   )
+
+  /** q67's pipeline, runnable against any events directory and batch
+    * granularity. Each micro-batch reduces to one row per user (the
+    * batch-local argmax by (ts, event_id) via a lexicographic struct
+    * max — no window sort) and merges it into the `user_last` state
+    * table; the merge's update condition implements last-writer-wins
+    * by event time with a total-order tiebreak, which is what makes
+    * the result independent of file→batch assignment (proven under
+    * one-file-per-trigger replay in StreamMergeSpec).
+    */
+  def latestStateMerge(s: SparkSession, dir: String, schemaFrom: String,
+      glob: String, maxFilesPerTrigger: Option[Int], queryName: String,
+      scratchName: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(schemaFrom).schema
+    val reader = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val raw = reader.parquet(dir)
+    val ev = schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+    val cat = new graft.core.Catalog(s, Q.scratch(s, scratchName))
+    cat.dropRelation("", "user_last") // deterministic across reruns
+    s.streams.active.filter(_.name == queryName).foreach(_.stop())
+    val query = ev.writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val perUser = batch
+          .select(col("user_id"),
+            struct(col("ts"), col("event_id"), col("event_type"),
+              col("value")).as("st"))
+          .groupBy(col("user_id"))
+          .agg(max(col("st")).as("st"))
+          .select(col("user_id"), col("st.ts").as("ts"),
+            col("st.event_id").as("event_id"),
+            col("st.event_type").as("event_type"),
+            col("st.value").as("value"))
+        cat.createTableMerge("", "user_last", perUser, Seq("user_id"),
+          updateColumns = Seq("ts", "event_id", "event_type", "value"),
+          updateCondition =
+            Some("i.ts > t.ts OR (i.ts = t.ts AND i.event_id > t.event_id)"))
+        ()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    cat.table("", "user_last")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
 
   /** q61's pipeline, runnable against any events directory, batch
     * granularity, and watermark delay. The gate drains one static
