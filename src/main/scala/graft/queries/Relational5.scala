@@ -20,6 +20,44 @@ object Relational5 extends QueryModule {
   private def dsumSql(expr: String, scale: Int = 2): String =
     s"cast(sum(cast($expr as decimal(18,$scale))) as double)"
 
+  /** Okapi BM25 scores of every term-matching document — (doc_id,
+    * bm25 round(6)). t17's gate output, and the lexical rank source
+    * for s5's fusion. See the t17 entry for the scale shape.
+    */
+  private def bm25Scores(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val terms = Seq("spark", "window", "hash", "stream", "vector")
+    val k1 = 1.2
+    val b = 0.75
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        split(lower(trim(regexp_replace(col("text"), "\\s+", " "))),
+          " ").as("words"))
+    val len = docs.select(col("doc_id"),
+      size(col("words")).cast("double").as("dl"))
+    val stats = len.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl").cast("long")).cast("double") /
+        count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(col("words")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    tf.join(df, "term")
+      .join(len, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * col("tf") * (k1 + 1.0)
+          / (col("tf") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 6).as("bm25"))
+  }
+
   def queries: Map[String, Q] = Map(
 
     // ─── q65: unpivot / melt (wide → long reshape) ───
@@ -89,6 +127,137 @@ object Relational5 extends QueryModule {
         FROM events
         ORDER BY user_id, ts_us, event_id""")),
 
+    // ─── s5: hybrid retrieval — reciprocal rank fusion ───
+    // The standard way to combine lexical and vector retrieval
+    // (Cormack et al. 2009): rank documents independently by BM25
+    // (t17's scorer) and by embedding cosine to a query vector, then
+    // fuse with RRF(k=60) = Σ 1/(k + rank) over the lists a doc
+    // appears in. Scale shape: both rank lists are per-query windows
+    // over ALREADY-REDUCED score sets (BM25 scores only term-matching
+    // docs; the cosine side is s1's broadcast-query scan shape), the
+    // fusion is a full outer join on doc_id of two rank lists, and
+    // the 1/(k+rank) terms are exact IEEE doubles computed in the
+    // same order in both engines — no rounding needed on the fused
+    // score. Ranks order by (rounded score desc, id) so float-tie
+    // ordering is engine-deterministic.
+    "s5_rrf_fusion" -> Q(
+      (s, dir) => {
+        // Each list is cut to its top-50 with orderBy().limit() —
+        // TakeOrderedAndProject, a per-partition top-k + driver merge,
+        // NOT a global sort — so the row_number windows below rank 50
+        // rows, never the corpus.
+        val wLex = Window.orderBy(col("bm25").desc, col("doc_id"))
+        val lex = bm25Scores(s, dir)
+          .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+          .withColumn("lrank", row_number().over(wLex))
+        val e = t(s, dir, "embeddings")
+        val dot = graft.functions.FloatVecDot.dot _
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"),
+            sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+        val wVec = Window.orderBy(col("cosine").desc, col("doc_id"))
+        val vec = e.filter(col("vec_id") =!= 0)
+          .select(col("vec_id").as("doc_id"), col("embedding"),
+            sqrt(dot(col("embedding"), col("embedding"))).as("cn"))
+          .crossJoin(broadcast(qv))
+          .select(col("doc_id"),
+            round(dot(col("qv"), col("embedding")) /
+              (col("qn") * col("cn")), 12).as("cosine"))
+          .orderBy(col("cosine").desc, col("doc_id")).limit(50)
+          .withColumn("vrank", row_number().over(wVec))
+        val wFused = Window.orderBy(col("fused").desc, col("doc_id"))
+        lex.select(col("doc_id"), col("lrank"))
+          .join(vec.select(col("doc_id"), col("vrank")),
+            Seq("doc_id"), "full_outer")
+          .withColumn("fused",
+            coalesce(lit(1.0) / (lit(60) + col("lrank")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("vrank")), lit(0.0)))
+          .withColumn("pos", row_number().over(wFused))
+          .filter(col("pos") <= 20)
+          .select(col("doc_id"), col("lrank").cast("long").as("lrank"),
+            col("vrank").cast("long").as("vrank"), col("fused"),
+            col("pos").cast("long").as("pos"))
+          .orderBy(col("pos"))
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id,
+            string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+              ' ') AS words
+          FROM documents),
+        len AS (
+          SELECT doc_id, cast(len(words) as double) AS dl FROM d),
+        stats AS (
+          SELECT cast(count(*) as double) AS n_docs,
+            cast(sum(cast(dl as bigint)) as double) / count(*) AS avgdl
+          FROM len),
+        tf AS (
+          SELECT doc_id, w AS term, cast(count(*) as double) AS tf
+          FROM d, unnest(words) AS u(w)
+          WHERE w IN ('spark', 'window', 'hash', 'stream', 'vector')
+          GROUP BY doc_id, w),
+        idf AS (
+          SELECT term, cast(count(*) as double) AS df FROM tf
+          GROUP BY term),
+        bm AS (
+          SELECT tf.doc_id,
+            round(sum(
+              ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                * tf * (1.2 + 1.0)
+                / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6)
+              AS bm25
+          FROM tf
+          JOIN idf USING (term)
+          JOIN len USING (doc_id)
+          CROSS JOIN stats
+          GROUP BY tf.doc_id),
+        lex AS (
+          SELECT doc_id, lrank FROM (
+            SELECT doc_id,
+              row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lrank
+            FROM bm)
+          WHERE lrank <= 50),
+        flat AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+            unnest(embedding) AS val
+          FROM embeddings),
+        norms AS (
+          SELECT vec_id,
+            sqrt(cast(sum(cast(cast(val as double) * cast(val as double)
+              as decimal(18,15))) as double)) AS nrm
+          FROM flat GROUP BY vec_id),
+        dots AS (
+          SELECT c.vec_id AS doc_id,
+            cast(sum(cast(cast(q.val as double) * cast(c.val as double)
+              as decimal(18,15))) as double) AS dot
+          FROM (SELECT * FROM flat WHERE vec_id = 0) q
+          JOIN (SELECT * FROM flat WHERE vec_id <> 0) c ON q.pos = c.pos
+          GROUP BY c.vec_id),
+        vec AS (
+          SELECT doc_id, vrank FROM (
+            SELECT dots.doc_id,
+              row_number() OVER (ORDER BY
+                round(dot / (nq.nrm * nc.nrm), 12) DESC, dots.doc_id)
+                AS vrank
+            FROM dots
+            JOIN norms nc ON nc.vec_id = dots.doc_id
+            CROSS JOIN (SELECT nrm FROM norms WHERE vec_id = 0) nq)
+          WHERE vrank <= 50),
+        fused AS (
+          SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+            lex.lrank, vec.vrank,
+            coalesce(1.0 / (60 + lex.lrank), 0.0) +
+              coalesce(1.0 / (60 + vec.vrank), 0.0) AS fused
+          FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+        SELECT doc_id, cast(lrank as bigint) AS lrank,
+          cast(vrank as bigint) AS vrank, fused,
+          cast(pos as bigint) AS pos
+        FROM (
+          SELECT *, row_number() OVER (ORDER BY fused DESC, doc_id)
+            AS pos
+          FROM fused)
+        WHERE pos <= 20
+        ORDER BY pos""")),
+
     // ─── t17: BM25 keyword retrieval scoring ───
     // Okapi BM25 (Robertson et al.; the Lucene +1 idf form, always
     // positive) of every document against a fixed query term set —
@@ -108,39 +277,7 @@ object Relational5 extends QueryModule {
     // ordered by doc_id: ranking stability under float ties is the
     // caller's concern (s1/q9 pin deterministic top-k elsewhere).
     "t17_bm25" -> Q(
-      (s, dir) => {
-        val terms = Seq("spark", "window", "hash", "stream", "vector")
-        val k1 = 1.2
-        val b = 0.75
-        val docs = t(s, dir, "documents")
-          .select(col("doc_id"),
-            split(lower(trim(regexp_replace(col("text"), "\\s+", " "))),
-              " ").as("words"))
-        val len = docs.select(col("doc_id"),
-          size(col("words")).cast("double").as("dl"))
-        val stats = len.agg(
-          count(lit(1)).cast("double").as("n_docs"),
-          (sum(col("dl").cast("long")).cast("double") /
-            count(lit(1))).as("avgdl"))
-        val tf = docs
-          .select(col("doc_id"), explode(col("words")).as("term"))
-          .filter(col("term").isin(terms: _*))
-          .groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).cast("double").as("tf"))
-        val df = tf.groupBy(col("term"))
-          .agg(count(lit(1)).cast("double").as("df"))
-        tf.join(df, "term")
-          .join(len, "doc_id")
-          .crossJoin(broadcast(stats))
-          .withColumn("contrib",
-            log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-              * col("tf") * (k1 + 1.0)
-              / (col("tf") +
-                lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-          .groupBy(col("doc_id"))
-          .agg(round(sum(col("contrib")), 6).as("bm25"))
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) => bm25Scores(s, dir).orderBy(col("doc_id")),
       Some("""WITH d AS (
           SELECT doc_id,
             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),

@@ -219,6 +219,48 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t17's term filter lands below the first exchange") {
+    // BM25's scale contract: only (doc, term) pairs MATCHING the query
+    // terms may shuffle — the corpus token stream must be filtered in
+    // the same narrow stage as the explode. If the isin predicate
+    // drifts above an Exchange, every token of every document crosses
+    // the wire at 100 TB.
+    val p = planOf("t17_bm25")
+    val lines = p.linesIterator.toSeq
+    val firstExchange = lines.indexWhere(_.contains("Exchange"))
+    val filterIdx = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("spark"))
+    assert(firstExchange >= 0 && filterIdx >= 0,
+      s"expected both an exchange and the term filter:\n$p")
+    // executedPlan prints top-down: the filter must sit BELOW (after)
+    // the first exchange line, i.e. closer to the scan
+    assert(filterIdx > firstExchange,
+      s"term filter must run before (below) the first exchange:\n$p")
+  }
+
+  test("q66's gap fill is one user-partition window, no extra shuffle") {
+    // LOCF = one hash exchange on user_id + in-partition sort; the
+    // running frame must not add a second corpus-scale exchange (the
+    // trailing range exchange for the output sort is the only other
+    // one allowed).
+    val p = planOf("q66_gap_fill")
+    val hashEx = p.linesIterator.count(_.contains("hashpartitioning"))
+    assert(hashEx == 1,
+      s"q66 must shuffle exactly once on user_id, got $hashEx:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"expected a window operator:\n$p")
+  }
+
+  test("s5's rank lists cut via TakeOrderedAndProject, not a global sort") {
+    // RRF fuses top-50 lists; each cut must plan as per-partition
+    // top-k + driver merge (TakeOrderedAndProject). A Sort + Limit
+    // pair over the full scored set would be a corpus-scale
+    // single-partition sort at 100 TB.
+    val p = planOf("s5_rrf_fusion")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject for the top-50 cuts:\n$p")
+  }
+
   test("t15's percentile band is estimated on the sample, not the corpus") {
     // the scalable estimator: the percentile aggregate's input scan
     // must carry the doc_id % 5 sample predicate — an exact
