@@ -40,6 +40,16 @@ object Bench {
     // run (e.g. "c_" to skip the engine WRITE gates at a scale factor
     // whose transient write+shuffle footprint exceeds the local disk —
     // the oracle replay must then skip the same keys for comparability)
+    // SPARK_GRAFT_FORCE=1: force each query's FULL physical plan via
+    // queryExecution.toRdd.count() instead of Dataset.count(). Plain
+    // count() lets Catalyst prune work that doesn't change cardinality
+    // (a window whose columns the count never reads collapses to a
+    // scan), which under-measures window-heavy queries relative to the
+    // DuckDB replay's fetchall. Kept off for protocol runs (method
+    // continuity with r1-r9); used for isolated bias quantification.
+    val force = sys.env.getOrElse("SPARK_GRAFT_FORCE", "0") == "1"
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      if (force) df.queryExecution.toRdd.count() else df.count()
     val excl = sys.env.getOrElse("SPARK_GRAFT_EXCLUDE", "")
       .split(",").map(_.trim).filter(_.nonEmpty)
     // SPARK_GRAFT_ONLY: comma-separated prefixes to RESTRICT a run to
@@ -63,12 +73,12 @@ object Bench {
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val perQuery: Map[String, Seq[Double]] = names.map { name =>
       if (warmup) {
-        try SparkEntry.queries(name)(spark, sfDir).count()
+        try run(SparkEntry.queries(name)(spark, sfDir))
         catch { case _: Throwable => () }
       }
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir).count()
+        try run(SparkEntry.queries(name)(spark, sfDir))
         catch { case e: Throwable =>
           failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
