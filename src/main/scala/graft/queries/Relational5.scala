@@ -127,6 +127,43 @@ object Relational5 extends QueryModule {
         FROM events
         ORDER BY user_id, ts_us, event_id""")),
 
+    // ─── q68: VARIANT semi-structured shredding (Spark 4.x) ───
+    // The engine's third JSON path, and the modern one: parse_json
+    // shreds the document into Spark's binary VARIANT encoding once,
+    // and variant_get extracts typed fields by path from the binary —
+    // no per-access string re-parse (q40's from_json/get_json_object
+    // problem) and no per-key custom kernel (q40's JsonIntKey answer).
+    // For a 100 TB semi-structured column this is the right default:
+    // parse once narrow, extract N fields at binary speed, keep
+    // whole-stage codegen. Same aggregate semantics as q40, so the
+    // oracle is the same SQL — the gate pins that the variant path
+    // agrees with the string-parse paths bit-for-bit.
+    //
+    // Measured (sf100, interleaved fresh-JVM): variant 9.4-9.7 s vs
+    // JsonIntKey 0.6-0.9 s vs DuckDB 0.35 s. The full parse into the
+    // variant encoding dominates when only ONE field is extracted —
+    // the custom single-key byte-scan kernel stays 15x ahead there.
+    // Variant amortizes when many fields are read per document or the
+    // parse is done once at ingest (shredded storage); single-hot-key
+    // analytics should keep the kernel. Both paths are gated.
+    "q68_variant" -> Q(
+      (s, dir) => {
+        Q.events(s, dir)
+          .select(try_parse_json(col("props")).as("v"))
+          .select(expr("variant_get(v, '$.k', 'bigint')").as("k"))
+          .groupBy((col("k") % 10).as("k_mod"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
+          .orderBy(col("k_mod"))
+      },
+      Some("""SELECT cast(json_extract_string(props, '$.k') as bigint) % 10
+            AS k_mod,
+          count(*) AS n,
+          cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint)
+            AS k_sum
+        FROM events
+        GROUP BY k_mod
+        ORDER BY k_mod""")),
+
     // ─── s5: hybrid retrieval — reciprocal rank fusion ───
     // The standard way to combine lexical and vector retrieval
     // (Cormack et al. 2009): rank documents independently by BM25

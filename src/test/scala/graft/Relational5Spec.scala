@@ -57,6 +57,21 @@ class Relational5Spec extends AnyFunSuite {
       7L -> Some(9.0), 8L -> None))
   }
 
+  test("q68_variant yields NULL on malformed JSON, matching the oracle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q68").toString
+    Seq((1L, """{"k": 7}""", new java.sql.Timestamp(0L)),
+        (2L, "not json {", new java.sql.Timestamp(0L)),
+        (3L, null.asInstanceOf[String], new java.sql.Timestamp(0L)))
+      .toDF("event_id", "props", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = gate("q68_variant", dir).collect()
+    assert(rows.length == 2, s"expected {7, NULL} groups, got ${rows.toSeq}")
+    val nullGroup = rows.find(_.isNullAt(0)).get
+    assert(nullGroup.getLong(1) == 2, "malformed + null props group as NULL")
+    val sevens = rows.find(r => !r.isNullAt(0) && r.getLong(0) == 7).get
+    assert(sevens.getLong(1) == 1 && sevens.getLong(2) == 7)
+  }
+
   test("t17_bm25 matches the hand-computed Okapi score") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_t17").toString
     // 4 docs; "spark" appears twice in doc 0 (dl=4) and once in doc 1
