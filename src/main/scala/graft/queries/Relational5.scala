@@ -127,6 +127,77 @@ object Relational5 extends QueryModule {
         FROM events
         ORDER BY user_id, ts_us, event_id""")),
 
+    // ─── t18: TF-IDF key-term extraction (top-3 terms per doc) ───
+    // The keyword-EXTRACTION counterpart to t17's retrieval scoring:
+    // every document's 3 most characteristic terms by tf·ln(N/df).
+    // Scale shape (the t10_rarity lessons applied):
+    //   - the corpus-scale exchanges ship (doc_id, xxhash64(term))
+    //     16-byte pairs, never term strings (a 64-bit collision would
+    //     merge two terms' counts and go red against the string-keyed
+    //     oracle — self-checking, like t10);
+    //   - df is a vocab-scale aggregate on long keys; the hash→term
+    //     map-back dim is vocab-scale and joins via the size-checked
+    //     broadcast AFTER all corpus-scale work;
+    //   - per-doc top-3 is a window over the (doc, distinct-term)
+    //     pairs — ordered by (round(score,6) desc, term asc) so
+    //     float-tie ranking is engine-deterministic (ties are COMMON:
+    //     equal tf against the same df grid).
+    "t18_keyterms" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"),
+            split(lower(trim(regexp_replace(col("text"), "\\s+", " "))),
+              " ").as("words"))
+        val pairs = docs
+          .select(col("doc_id"), explode(col("words")).as("term"))
+        val tf = pairs
+          .select(col("doc_id"), xxhash64(col("term")).as("th"))
+          .groupBy(col("doc_id"), col("th"))
+          .agg(count(lit(1)).cast("double").as("tf"))
+        val vocab = pairs
+          .select(xxhash64(col("term")).as("th"), col("term"))
+          .groupBy(col("th")).agg(min(col("term")).as("term"))
+        val dfv = tf.groupBy(col("th"))
+          .agg(count(lit(1)).cast("double").as("df"))
+        val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))
+        tf.join(dfv, "th")
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            round(col("tf") * log(col("n_docs") / col("df")), 6))
+          .join(vocab, "th")
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank").cast("long").as("rank"),
+            col("term"), col("tfidf"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id,
+            string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+              ' ') AS words
+          FROM documents),
+        pairs AS (
+          SELECT doc_id, w AS term, cast(count(*) as double) AS tf
+          FROM d, unnest(words) AS u(w)
+          GROUP BY doc_id, w),
+        stats AS (SELECT cast(count(*) as double) AS n_docs FROM d),
+        dfv AS (
+          SELECT term, cast(count(*) as double) AS df FROM pairs
+          GROUP BY term),
+        scored AS (
+          SELECT doc_id, term, round(tf * ln(n_docs / df), 6) AS tfidf
+          FROM pairs JOIN dfv USING (term) CROSS JOIN stats),
+        ranked AS (
+          SELECT doc_id, term, tfidf,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, term) AS rk
+          FROM scored)
+        SELECT doc_id, cast(rk as bigint) AS rank, term, tfidf
+        FROM ranked WHERE rk <= 3
+        ORDER BY doc_id, rank""")),
+
     // ─── q68: VARIANT semi-structured shredding (Spark 4.x) ───
     // The engine's third JSON path, and the modern one: parse_json
     // shreds the document into Spark's binary VARIANT encoding once,

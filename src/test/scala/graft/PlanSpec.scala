@@ -251,6 +251,24 @@ class PlanSpec extends AnyFunSuite {
       s"expected a window operator:\n$p")
   }
 
+  test("t18's corpus exchanges are keyed by term hash, not term strings") {
+    // the t10 lesson, pinned: the (doc, term) pair aggregation and the
+    // df aggregation must partition on the 8-byte xxhash64 key; a
+    // regression reintroducing string-keyed corpus exchanges would
+    // ship the token stream's bytes through every shuffle at 100 TB.
+    val p = planOf("t18_keyterms")
+    assert(p.contains("xxhash64"), s"expected hashed term keys:\n$p")
+    // no exchange may PARTITION on the term string: every
+    // hashpartitioning key list must be th/doc_id longs (strings may
+    // ride post-partial vocab-scale exchanges as payload, never as a
+    // corpus-scale partition key)
+    val badEx = p.linesIterator
+      .filter(_.contains("hashpartitioning(term"))
+      .toSeq
+    assert(badEx.isEmpty,
+      s"corpus exchange partitioned on the term string: $badEx")
+  }
+
   test("s5's rank lists cut via TakeOrderedAndProject, not a global sort") {
     // RRF fuses top-50 lists; each cut must plan as per-partition
     // top-k + driver merge (TakeOrderedAndProject). A Sort + Limit
