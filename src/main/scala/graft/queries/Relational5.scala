@@ -148,15 +148,21 @@ object Relational5 extends QueryModule {
           .select(col("doc_id"),
             split(lower(trim(regexp_replace(col("text"), "\\s+", " "))),
               " ").as("words"))
-        val pairs = docs
+        // ONE token-stream explode: tf and the term string come out of
+        // the same aggregate (min(term) rides as map-side-collapsed
+        // payload — the exchange still PARTITIONS on the 16-byte
+        // (doc_id, th) key, strings are just bytes on distinct-pair
+        // rows, ~1 term per (doc, th) after partial agg). The first
+        // authored form built tf, df, and a hash→term vocab dim from
+        // THREE separate explodes of the corpus; fresh-JVM A/B at
+        // sf100 below adjudicated.
+        val tf = docs
           .select(col("doc_id"), explode(col("words")).as("term"))
-        val tf = pairs
-          .select(col("doc_id"), xxhash64(col("term")).as("th"))
+          .select(col("doc_id"), xxhash64(col("term")).as("th"),
+            col("term"))
           .groupBy(col("doc_id"), col("th"))
-          .agg(count(lit(1)).cast("double").as("tf"))
-        val vocab = pairs
-          .select(xxhash64(col("term")).as("th"), col("term"))
-          .groupBy(col("th")).agg(min(col("term")).as("term"))
+          .agg(count(lit(1)).cast("double").as("tf"),
+            min(col("term")).as("term"))
         val dfv = tf.groupBy(col("th"))
           .agg(count(lit(1)).cast("double").as("df"))
         val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
@@ -166,7 +172,6 @@ object Relational5 extends QueryModule {
           .crossJoin(broadcast(n))
           .withColumn("tfidf",
             round(col("tf") * log(col("n_docs") / col("df")), 6))
-          .join(vocab, "th")
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
           .select(col("doc_id"), col("rank").cast("long").as("rank"),
