@@ -38,6 +38,31 @@ class StreamMergeSpec extends AnyFunSuite {
       (3L, 10L, "c")))
   }
 
+  test("conditional merge gates drift columns row-by-row too") {
+    // an increment that ADDS a column while carrying a condition: a
+    // matched row passing the condition takes the new column's value,
+    // a matched row failing it keeps NULL (it kept its old row
+    // entirely), and inserts always carry it
+    val root = java.nio.file.Files.createTempDirectory("graft_cmerge2")
+      .toString
+    val cat = new Catalog(spark, root)
+    cat.createTableMerge("", "state",
+      Seq((1L, 100L, "a"), (2L, 200L, "b")).toDF("k", "ts", "v"),
+      Seq("k"))
+    cat.createTableMerge("", "state",
+      Seq((1L, 50L, "A1", "w1"), (2L, 300L, "B2", "w2"),
+        (3L, 10L, "c", "w3")).toDF("k", "ts", "v", "w"),
+      Seq("k"), updateColumns = Seq("ts", "v", "w"),
+      updateCondition = Some("i.ts > t.ts"))
+    val got = cat.table("", "state").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3))))
+    assert(got.toSeq == Seq(
+      (1L, 100L, "a", None),         // condition failed: untouched, w NULL
+      (2L, 300L, "B2", Some("w2")),  // condition passed: updated incl. w
+      (3L, 10L, "c", Some("w3"))))   // insert: always carries w
+  }
+
   test("latest-state table is invariant under one-file-per-trigger replay") {
     val ev = graft.queries.Q.events(spark, TestSpark.SF)
     val tmp = java.nio.file.Files.createTempDirectory("graft_q67_mb")
