@@ -203,6 +203,57 @@ object Relational5 extends QueryModule {
         FROM ranked WHERE rk <= 3
         ORDER BY doc_id, rank""")),
 
+    // ─── t19: corpus health report (one-pass curation dashboard) ───
+    // The summary every pipeline run starts and ends with: corpus
+    // size, token volume, exact-duplicate rate, language mix, and
+    // quality pass-rate — as ONE job. Scale shape: a single narrow
+    // scan feeds (a) a global aggregate whose partial states are a
+    // handful of counters, and (b) an exact distinct-count of the
+    // normalized-text signature (two-phase aggregate on the 16-byte
+    // md5 — d1's exchange shape, the only shuffle that grows with the
+    // corpus). Ratio means go through exact decimal sums (the q1/dsum
+    // convention) so aggregation order cannot split the hash.
+    "t19_corpus_report" -> Q(
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(
+          col("doc_id"), col("lang"),
+          md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+            .as("sig"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("toks"),
+          (length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+            .cast("double") / greatest(length(col("text")), lit(1))
+            .cast("double")).as("alpha"))
+        d.agg(
+          count(lit(1)).as("n_docs"),
+          count_distinct(col("sig")).as("n_unique"),
+          sum(col("toks")).as("total_tokens"),
+          count_distinct(col("lang")).as("n_langs"),
+          round((count(lit(1)) - count_distinct(col("sig")))
+            .cast("double") / count(lit(1)), 6).as("dup_rate"),
+          round(sum(col("alpha").cast(DecimalType(18, 9))).cast("double")
+            / count(lit(1)), 6).as("mean_alpha"),
+          round(sum(when(col("toks").between(5, 5000), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("len_pass_rate"))
+      },
+      Some("""SELECT count(*) AS n_docs,
+          count(distinct md5(lower(trim(regexp_replace(text, '\s+', ' ',
+            'g'))))) AS n_unique,
+          cast(sum(len(string_split_regex(trim(text), '\s+')))
+            as bigint) AS total_tokens,
+          count(distinct lang) AS n_langs,
+          round((count(*) - count(distinct md5(lower(trim(
+              regexp_replace(text, '\s+', ' ', 'g'))))))::double
+            / count(*), 6) AS dup_rate,
+          round(cast(sum(cast(
+              length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::double
+                / greatest(length(text), 1) as decimal(18,9))) as double)
+            / count(*), 6) AS mean_alpha,
+          round(sum(CASE WHEN len(string_split_regex(trim(text), '\s+'))
+              BETWEEN 5 AND 5000 THEN 1 ELSE 0 END)::double
+            / count(*), 6) AS len_pass_rate
+        FROM documents"""),
+    ),
+
     // ─── q68: VARIANT semi-structured shredding (Spark 4.x) ───
     // The engine's third JSON path, and the modern one: parse_json
     // shreds the document into Spark's binary VARIANT encoding once,
