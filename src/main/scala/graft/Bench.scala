@@ -40,16 +40,21 @@ object Bench {
     // run (e.g. "c_" to skip the engine WRITE gates at a scale factor
     // whose transient write+shuffle footprint exceeds the local disk —
     // the oracle replay must then skip the same keys for comparability)
-    // SPARK_GRAFT_FORCE=1: force each query's FULL physical plan via
-    // queryExecution.toRdd.count() instead of Dataset.count(). Plain
-    // count() lets Catalyst prune work that doesn't change cardinality
-    // (a window whose columns the count never reads collapses to a
-    // scan), which under-measures window-heavy queries relative to the
-    // DuckDB replay's fetchall. Kept off for protocol runs (method
-    // continuity with r1-r9); used for isolated bias quantification.
-    val force = sys.env.getOrElse("SPARK_GRAFT_FORCE", "0") == "1"
+    //
+    // Bench action (r10, was Dataset.count() r1-r9): execute the FULL
+    // physical plan via queryExecution.toRdd.count(). Plain count()
+    // lets Catalyst prune work that doesn't change cardinality — a
+    // window whose columns the count never reads collapses to a bare
+    // scan — which under-measured window-heavy queries relative to the
+    // DuckDB replay's fetchall (two r9 gates, q66/t19, were fully
+    // count-degenerate and needed a FORCE special case; that flag is
+    // retired now that full-plan is the only action). toRdd runs every
+    // operator and materializes every output row per-partition without
+    // collecting to the driver — the Spark analog of the replay's
+    // fetchall, minus the driver transfer both engines would equally
+    // skip on a cluster.
     def run(df: org.apache.spark.sql.DataFrame): Unit =
-      if (force) df.queryExecution.toRdd.count() else df.count()
+      df.queryExecution.toRdd.count()
     val excl = sys.env.getOrElse("SPARK_GRAFT_EXCLUDE", "")
       .split(",").map(_.trim).filter(_.nonEmpty)
     // SPARK_GRAFT_ONLY: comma-separated prefixes to RESTRICT a run to
@@ -123,14 +128,29 @@ object Bench {
     // this; at 125 queries it is ~5 KB and cannot fit the driver's
     // 2000-char stdout tail window, which is why BENCH_r1..r8 all
     // carry "parsed": null).
-    println(s"""{"metric":"queries_full","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"spread":$spread,"total_ok":$totalOk,"n_failed":${failed.size},"failed":$failedJson}""")
+    val fullLine = s"""{"metric":"queries_full","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"spread":$spread,"total_ok":$totalOk,"n_failed":${failed.size},"failed":$failedJson}"""
+    println(fullLine)
     // Headline line LAST and compact (≤ ~1.5 KB): aggregates plus the
     // 25 slowest queries at 3 decimals — everything a regression read
-    // needs, sized to survive the driver's tail capture intact.
+    // needs, sized to survive the driver's tail capture intact. The
+    // truncated per-query map is named "slowest" (r10; was "queries"),
+    // so a parser of the old single-line format fails loudly instead of
+    // silently reading a 25-key subset as the full map.
     def r3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     val slow = ok.sortBy(n => -med(n)).take(25)
       .map(n => "\"" + n + "\":" + r3(med(n))).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slow,"n_queries":${names.size},"queries_shown":"25 slowest of ${names.size}; full map on queries_full line","sf":"$sfDir","runs":$runs,"spread":${r3(spread)},"total_ok":${r3(totalOk)},"n_failed":${failed.size},"failed":$failedJson}""")
+    val headline = s"""{"metric":"total","value":$total,"unit":"sec","slowest":$slow,"n_queries":${names.size},"queries_shown":"25 slowest of ${names.size}; full map on queries_full line and in bench_full.json","sf":"$sfDir","runs":$runs,"spread":${r3(spread)},"total_ok":${r3(totalOk)},"n_failed":${failed.size},"failed":$failedJson}"""
+    // Machine-parseable artifacts: stdout framing (sbt's [info]/[success]
+    // wrappers) defeated tail-parsing for nine straight rounds, so the
+    // same two JSON documents are also written as files in the CWD the
+    // driver launches from (the repo root).
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_headline.json"), headline + "\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
     spark.stop()
+    // Absolute last stdout line, printed after SparkSession teardown so
+    // no late Spark/log4j writer can trail it within our own output.
+    println(headline)
   }
 }

@@ -30,12 +30,17 @@ object Explain {
       val Array(k, v) = kv.split("=", 2)
       spark.conf.set(k.trim, v.trim)
     })
+    // Same action as graft.Bench since r10: the FULL physical plan
+    // (count() lets Catalyst prune pure-projection work, so numbers
+    // here would not be comparable with bench/protocol rows).
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.toRdd.count()
     for (n <- names) {
       val q = SparkEntry.queries(n)
-      q(spark, sfDir).count() // warm
+      run(q(spark, sfDir)) // warm
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        q(spark, sfDir).count()
+        run(q(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }.sorted
       println(f"== $n%-22s median ${ts(1)}%.3f s  (${ts.mkString(", ")})")

@@ -22,7 +22,9 @@ object Probe {
       }
     } else for (name <- names; i <- 1 to 2) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      // full-plan action, same as graft.Bench since r10
+      val n = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.toRdd.count()
       println(f"[probe] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
     }
     spark.stop()

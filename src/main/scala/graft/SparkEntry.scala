@@ -41,5 +41,12 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    all.collect { case (k, Q(_, Some(sql))) => k -> sql }
+    all.collect { case (k, q) if q.oracle.isDefined => k -> q.oracle.get }
+
+  /** Keys whose oracle is gate-scale-only (quadratic recomputation of
+    * an approximate operator's exact answer) — see [[Q.quadraticOracle]].
+    * Dumped by [[Verify]] as `oracle_meta.json` for the replay tooling.
+    */
+  def quadraticOracles: Set[String] =
+    all.collect { case (k, q) if q.quadraticOracle => k }.toSet
 }

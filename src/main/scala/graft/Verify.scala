@@ -42,6 +42,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Oracle metadata the replay tooling needs: which keys' oracles are
+    // gate-scale-only (quadratic). Declared per-Q in Scala — the single
+    // source of truth — so tools/bench_duckdb.py never maintains a
+    // parallel hardcoded name list that silently goes stale.
+    val quad = SparkEntry.quadraticOracles.toSeq.sorted
+      .map(q(_)).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/oracle_meta.json"),
+      s"""{"quadratic_oracles": $quad}""")
     spark.stop()
   }
 }

@@ -589,8 +589,18 @@ final class Catalog(val spark: SparkSession, val database: String) {
         "pick a coarser partition key or cluster whole-table")
     val cols = clusterCols.map(c => col(c))
     val path = relationPath(schema, tableName).toString
-    parts.sortBy(_.toString).foreach { v =>
-      df.filter(col(partCol) === lit(v))
+    // A NULL partition value is one more partition, routed to Spark's
+    // hive-default partition directory exactly as a plain partitioned
+    // write would place it. It needs its own predicate: the equality
+    // filter below is null-safe-FALSE for null rows, which would
+    // silently drop them from the rewritten table (and sortBy(toString)
+    // on a null part value would NPE before that).
+    val (nullPart, realParts) = parts.partition(_ == null)
+    val jobs: Seq[Column] =
+      realParts.sortBy(_.toString).toSeq.map(v => col(partCol) === lit(v)) ++
+        (if (nullPart.nonEmpty) Seq(col(partCol).isNull) else Nil)
+    jobs.foreach { pred =>
+      df.filter(pred)
         .repartitionByRange(numFilesPerPart, cols: _*)
         .sortWithinPartitions(cols: _*)
         .write.mode(SaveMode.Overwrite)

@@ -7,18 +7,73 @@ import scala.concurrent.duration.Duration
 
 import org.apache.spark.sql.DataFrame
 
+/** Per-model materialization mode — dbt's `materialized:` config,
+  * routed to the corresponding [[Catalog]] engine by [[ModelRunner]].
+  * The reference adapter itself only exercises table/view (its
+  * test_basic.py SKIPS the incremental/snapshot tests); dbt-core users
+  * configure all of these per model, so the DAG runner dispatches to
+  * the engines the catalog already has rather than rebuilding every
+  * model as a full CTAS — on a 100 TB fact model the difference
+  * between a daily run touching one day's rows and rewriting the
+  * table.
+  */
+sealed trait Materialization
+object Materialization {
+  /** Full rebuild via the atomic-swap CTAS (dbt `table`; `view` is the
+    * same thing for a parquet store — reference macros/adapters.sql
+    * parquet__create_view_as).
+    */
+  case object Table extends Materialization
+  /** Participates in the DAG, never written — registered as the temp
+    * view downstream refs resolve through (dbt `ephemeral`).
+    */
+  case object Ephemeral extends Materialization
+  /** dbt `incremental` with the delete+insert strategy
+    * ([[Catalog.createTableIncremental]]): first run materializes,
+    * later runs replace matched keys and append the rest.
+    */
+  final case class Incremental(uniqueKey: Seq[String])
+    extends Materialization
+  /** dbt `incremental` with the merge strategy
+    * ([[Catalog.createTableMerge]]), incl. `merge_update_columns` and
+    * a `WHEN MATCHED AND` condition.
+    */
+  final case class Merge(uniqueKey: Seq[String],
+      updateColumns: Seq[String] = Seq.empty,
+      updateCondition: Option[String] = None) extends Materialization
+  /** dbt `incremental` with the insert_overwrite strategy at partition
+    * granularity ([[Catalog.insertOverwritePartitions]]).
+    */
+  final case class InsertOverwrite(partitionBy: Seq[String])
+    extends Materialization
+  /** dbt snapshot, `check` strategy ([[Catalog.snapshot]]); `asOf` is
+    * the run's explicit timestamp literal.
+    */
+  final case class SnapshotCheck(uniqueKey: Seq[String], asOf: String)
+    extends Materialization
+  /** dbt snapshot, `timestamp` strategy
+    * ([[Catalog.snapshotTimestamp]]).
+    */
+  final case class SnapshotTimestamp(uniqueKey: Seq[String],
+      updatedAt: String) extends Materialization
+}
+
 /** One SQL model: a SELECT with `{{ ref('name') }}` /
   * `{{ source('schema', 'table') }}` templating, materialized into the
   * catalog under (schema, name) — the dbt-core capability the
   * reference adapter plugs into (reference: README.md "Why",
   * macros/adapters.sql materializations).
+  *
+  * `ephemeral` predates [[Materialization]] and is kept as sugar for
+  * `materialized = Materialization.Ephemeral` (it wins when set).
   */
 final case class Model(
     name: String,
     sql: String,
     schema: String = "",
     singleFile: Boolean = false,
-    ephemeral: Boolean = false) {
+    ephemeral: Boolean = false,
+    materialized: Materialization = Materialization.Table) {
 
   /** Names this model `ref()`s. */
   def refs: Seq[String] =
@@ -84,16 +139,28 @@ final class ModelRunner(
   }
 
   private def materialize(m: Model, byName: Map[String, Model]): Unit = {
-    val rendered = render(m, byName)
-    if (m.ephemeral)
-      // dbt ephemeral: participates in the DAG but is never written —
-      // it registers under the same view name refs resolve to, so
-      // downstream models are oblivious to the materialization mode
-      target.spark.sql(rendered)
-        .createOrReplaceTempView(target.viewName(m.schema, m.name))
-    else
-      target.createTableAs(m.schema, m.name, target.spark.sql(rendered),
-        singleFile = m.singleFile)
+    val df = target.spark.sql(render(m, byName))
+    import Materialization._
+    val mode = if (m.ephemeral) Ephemeral else m.materialized
+    mode match {
+      case Ephemeral =>
+        // dbt ephemeral: participates in the DAG but is never written —
+        // it registers under the same view name refs resolve to, so
+        // downstream models are oblivious to the materialization mode
+        df.createOrReplaceTempView(target.viewName(m.schema, m.name))
+      case Table =>
+        target.createTableAs(m.schema, m.name, df, singleFile = m.singleFile)
+      case Incremental(key) =>
+        target.createTableIncremental(m.schema, m.name, df, key)
+      case Merge(key, updCols, updCond) =>
+        target.createTableMerge(m.schema, m.name, df, key, updCols, updCond)
+      case InsertOverwrite(parts) =>
+        target.insertOverwritePartitions(m.schema, m.name, df, parts)
+      case SnapshotCheck(key, asOf) =>
+        target.snapshot(m.schema, m.name, df, key, asOf)
+      case SnapshotTimestamp(key, updatedAt) =>
+        target.snapshotTimestamp(m.schema, m.name, df, key, updatedAt)
+    }
   }
 
   /** Resolve `{{ ref/source }}` to registered view names; sources are

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.core.{Catalog, DataTests, Model, ModelRunner}
+import graft.core.{Catalog, DataTests, Materialization, Model, ModelRunner}
 
 /** Gates for the engine surface (SURVEY.md §2.1): catalog discovery,
   * relation lifecycle (CTAS / rename / drop), CSV seeds, DAG model
@@ -177,6 +177,52 @@ object Engine extends QueryModule {
         WHERE o_orderdate >= timestamp '1996-01-01'
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment""")),
+
+    // ─── C17b: DAG runner routing `materialized: incremental` ───
+    // The dbt workflow the r9 verdict flagged as the one real seam vs
+    // dbt-core: a user configures a model incremental and the DAG
+    // re-run must INCREMENT the existing table (delete+insert by key
+    // through Catalog.createTableIncremental) instead of rebuilding it.
+    // Batch 1 loads orders before 1999 through an ephemeral staging
+    // model; batch 2 re-runs the SAME DAG over an overlapping window
+    // (1998 onward, prices doubled). Overlap keys must be replaced,
+    // later keys appended, and pre-1998 rows — present only in batch 1
+    // — must survive, which is exactly what a rebuild would destroy
+    // (the assert makes that failure loud locally; the oracle proves
+    // the full merged content).
+    "c_dag_incremental" -> Q(
+      (s, dir) => {
+        val srcCat = new Catalog(s, dir)
+        val target = new Catalog(s, Q.scratch(s, "dagincr"))
+        target.dropRelation("", "fct_orders") // deterministic across reruns
+        val runner = new ModelRunner(target,
+          (schema, table) => srcCat.table(schema, table))
+        def dag(where: String, price: String) = Seq(
+          Model("stg_orders_win",
+            s"""SELECT o_orderkey, o_custkey, $price AS o_totalprice,
+                  o_orderdate
+               FROM {{ source('', 'orders') }}
+               WHERE $where""",
+            ephemeral = true),
+          Model("fct_orders",
+            "SELECT * FROM {{ ref('stg_orders_win') }}",
+            materialized = Materialization.Incremental(Seq("o_orderkey"))))
+        runner.run(dag("o_orderdate < timestamp '1999-01-01'",
+          "o_totalprice"))
+        runner.run(dag("o_orderdate >= timestamp '1998-01-01'",
+          "o_totalprice * 2"))
+        assert(target.table("", "fct_orders")
+            .filter(col("o_orderdate") < lit("1998-01-01")).limit(1)
+            .count() == 1,
+          "DAG re-run rebuilt instead of incrementing: batch-1-only rows lost")
+        target.table("", "fct_orders").orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+          CASE WHEN o_orderdate >= timestamp '1998-01-01'
+               THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+          o_orderdate
+        FROM orders
+        ORDER BY o_orderkey""")),
 
     // ─── C20: incremental materialization (delete+insert by unique key) ───
     // Base load (orders before 1998) then an overlapping increment

@@ -504,24 +504,32 @@ object LlmSim extends QueryModule {
         val mhArr = mh.select(col("doc_id"),
           array((0 until 16).map(i => col(s"mh_$i")): _*).as("sig"))
         val cands = minhashCandidates(mhArr)
-        // pre-filter candidates by estimated similarity (matching
-        // minhash fraction ≥ 1/4) before the exact pass — with 16
-        // hashes a true j ≥ 0.5 pair misses this floor with
-        // P[Binom(16, ≥.5) < 4] < 1e-4·ε, while random band-collision
-        // pairs mostly drop here and never touch their shingle sets
+        // Pre-filter floor = 2 matching minhashes of 16. With r=2
+        // banding every candidate pair already shares both minhashes
+        // of some band, so this floor drops NOTHING today — it is a
+        // guard for a future band-config change (r=1 banding would
+        // admit 1-match pairs), not a similarity screen. It must stay
+        // this loose: the gate's oracle is the exact all-pairs
+        // duplicate list, so any floor with a real miss probability
+        // for a true j ≥ 0.5 pair (e.g. ≥ 4/16, where
+        // P[Binom(16, .5) ≤ 3] ≈ 1.1e-2) is a latent gate divergence
+        // the moment a corpus has borderline pairs. Random band
+        // collisions are instead killed by the exact verify stage,
+        // whose input volume the sorted-neighborhood cap already
+        // bounds linearly (BandBoundSpec).
         val est = cands
           .join(mhArr.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
           .join(mhArr.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
           .withColumn("est_sim",
             size(filter(zip_with(col("sig_a"), col("sig_b"),
               (x, y) => x === y), m => m)).cast("double") / 16.0)
-          .filter(col("est_sim") >= 0.25)
+          .filter(col("est_sim") >= 2.0 / 16.0)
           .select(col("a"), col("b"))
         // exact-verify ONLY candidates (the 100 TB-safe order of
         // operations), on string shingles — oracle-grid jaccard
         verifyJaccard(est, tri, thresh = 0.5)
       },
-      Some(dupPairsOracle)),
+      Some(dupPairsOracle), quadraticOracle = true),
 
     // ─── d4: SimHash near-dup (64-bit, 16-bit-chunk banding) ───
     // Signatures come from [[simhash64]] (two-level exact packed-lane
@@ -597,7 +605,7 @@ object LlmSim extends QueryModule {
         verifyJaccard(cands, shingles(reps.select(col("doc_id"), col("text"))),
           thresh = 0.5)
       },
-      Some(dupPairsOracle)),
+      Some(dupPairsOracle), quadraticOracle = true),
 
     // ─── d5: embedding-cosine near-dup pairs (exact oracle) ───
     "d5_embed_neardup" -> Q(
@@ -740,7 +748,7 @@ object LlmSim extends QueryModule {
         FROM dots JOIN norms na ON na.vec_id = a
                   JOIN norms nb ON nb.vec_id = b
         WHERE round(dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 12) > 0.99
-        ORDER BY a, b""")),
+        ORDER BY a, b"""), quadraticOracle = true),
 
     // ─── s1: brute-force cosine top-k (exact ANN baseline, oracled) ───
     "s1_ann_brute" -> Q(
@@ -1026,7 +1034,7 @@ object LlmSim extends QueryModule {
         SELECT vec_id FROM (
           SELECT DISTINCT vec_id FROM flat) all_ids
         WHERE vec_id NOT IN (SELECT vec_id FROM drops)
-        ORDER BY vec_id""")),
+        ORDER BY vec_id"""), quadraticOracle = true),
 
     // ─── s4: IVF-bucketed kNN graph (rows-only; recall vs brute force
     // asserted in KnnGraphSpec) ───

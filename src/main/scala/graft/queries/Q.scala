@@ -14,7 +14,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final case class Q(
     build: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    /** The oracle recomputes an approximate operator's EXACT answer
+      * quadratically (all-pairs jaccard/cosine) — correct and cheap at
+      * the sf0.01 correctness gate, structurally infeasible as a
+      * timing replay at protocol SFs. Declared here (the one place
+      * that knows the oracle's complexity) and surfaced through
+      * [[graft.SparkEntry.quadraticOracles]] → `oracle_meta.json`, so
+      * replay tooling never has to maintain a parallel hardcoded list.
+      */
+    quadraticOracle: Boolean = false)
 
 object Q {
   /** Read one test table: `{sfDir}/{name}.parquet`. */

@@ -434,10 +434,21 @@ object Relational4 extends QueryModule {
     // (spark.sql.cteRecursionRowLimit). This walk emits each customer
     // exactly once (|customer| total rows — 1.5M at sf10, 15M at
     // sf100), so the default cap trips on row VOLUME, not on depth;
-    // raise it to the data scale. The real safety net here is the
-    // level limit (depth ≈ log10(maxkey) ≤ 9), which stays default.
+    // raise it to the data scale FOR THIS PLAN ONLY. Scoping matters
+    // two ways: (a) setting it on the shared session would leak a 2^30
+    // cap that quietly disarms the runaway-recursion guard for every
+    // later recursive CTE in a long-lived session (bench/verify JVMs
+    // run ~135 queries); (b) a set-then-restore around sql() would be
+    // UNSAFE the other way — the loop executes at ACTION time
+    // (UnionLoopExec), which is after the builder returns, so the
+    // restored 1M cap would trip at sf1+. A cloned session resolves
+    // both: the raised cap lives in the clone's conf for the lifetime
+    // of the returned DataFrame, and the caller's session is never
+    // touched. The real safety net here is the level limit
+    // (depth ≈ log10(maxkey) ≤ 9), which stays default.
     "q63_recursive_cte" -> Q(
-      (s, dir) => {
+      (s0, dir) => {
+        val s = org.apache.spark.sql.graftbridge.Bridge.cloneSession(s0)
         s.conf.set("spark.sql.cteRecursionRowLimit", (1 << 30).toString)
         t(s, dir, "customer").select(col("c_custkey"))
           .createOrReplaceTempView("graft_cust_rec")

@@ -291,6 +291,66 @@ object Relational5 extends QueryModule {
         GROUP BY k_mod
         ORDER BY k_mod""")),
 
+    // ─── q68b: VARIANT multi-field extraction (parse once, read 5) ───
+    // q68 gates variant's WORST case (full parse, ONE field read, where
+    // the q40 single-key byte-scan kernel wins 15x). This gate is the
+    // case variant exists for: 5 typed fields — two top-level bigints,
+    // a string, a derived bigint, and a NESTED path ($.p.k) — extracted
+    // from one try_parse_json per document. The alternative the A/B
+    // measures against is 5 independent get_json_object calls, each a
+    // full string re-parse per row (5 parses/doc vs 1). The testdata
+    // has no multi-field JSON column, so the document is CONSTRUCTED
+    // in-plan from events columns by identical concat logic in both
+    // engines (integer-and-string fields only — no double formatting in
+    // the construction, so the two engines' JSON bytes are identical;
+    // floor() before the bigint cast because Spark's double→long cast
+    // truncates while DuckDB's rounds). Construction cost is common to
+    // every arm, so the variant-vs-reparse crossover it exists to
+    // measure is unaffected.
+    "q68b_variant_multi" -> Q(
+      (s, dir) => {
+        val js = concat(
+          lit("{\"id\":"), col("event_id"),
+          lit(",\"ty\":\""), col("event_type"),
+          lit("\",\"u\":"), col("user_id"),
+          lit(",\"fv\":"), floor(col("value")).cast("long"),
+          lit(",\"p\":"), col("props"),
+          lit("}"))
+        Q.events(s, dir)
+          .select(try_parse_json(js).as("v"))
+          .select(
+            expr("variant_get(v, '$.ty', 'string')").as("ty"),
+            expr("variant_get(v, '$.id', 'bigint')").as("id"),
+            expr("variant_get(v, '$.u', 'bigint')").as("u"),
+            expr("variant_get(v, '$.fv', 'bigint')").as("fv"),
+            expr("variant_get(v, '$.p.k', 'bigint')").as("k"))
+          .groupBy(col("ty"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("id")).as("id_sum"),
+            sum(col("u")).as("u_sum"),
+            sum(col("fv")).as("fv_sum"),
+            sum(col("k")).as("k_sum"))
+          .orderBy(col("ty"))
+      },
+      Some("""WITH j AS (
+          SELECT '{"id":' || event_id || ',"ty":"' || event_type ||
+            '","u":' || user_id || ',"fv":' || cast(floor(value) as bigint) ||
+            ',"p":' || props || '}' AS js
+          FROM events)
+        SELECT json_extract_string(js, '$.ty') AS ty,
+          count(*) AS n,
+          cast(sum(cast(json_extract_string(js, '$.id') as bigint)) as bigint)
+            AS id_sum,
+          cast(sum(cast(json_extract_string(js, '$.u') as bigint)) as bigint)
+            AS u_sum,
+          cast(sum(cast(json_extract_string(js, '$.fv') as bigint)) as bigint)
+            AS fv_sum,
+          cast(sum(cast(json_extract_string(js, '$.p.k') as bigint)) as bigint)
+            AS k_sum
+        FROM j
+        GROUP BY ty
+        ORDER BY ty""")),
+
     // ─── s5: hybrid retrieval — reciprocal rank fusion ───
     // The standard way to combine lexical and vector retrieval
     // (Cormack et al. 2009): rank documents independently by BM25

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.core.{Catalog, DataTests, Model, ModelRunner}
+import graft.core.{Catalog, DataTests, Materialization, Model, ModelRunner}
 
 class CatalogSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -484,6 +484,60 @@ class ModelRunnerSpec extends AnyFunSuite {
     // distinct odd names must not collide after sanitization
     assert(target.viewName("", "my model") != target.viewName("", "my.model"))
   }
+
+  test("materialized: incremental — DAG re-run increments, not rebuilds") {
+    val (target, r) = runner()
+    def dag(maxKey: Int) = Seq(
+      Model("stg_n",
+        s"select n_nationkey, n_name from {{ source('', 'nation') }} " +
+          s"where n_nationkey < $maxKey", ephemeral = true),
+      Model("dim_n", "select * from {{ ref('stg_n') }}",
+        materialized = Materialization.Incremental(Seq("n_nationkey"))))
+    r.run(dag(10))
+    assert(target.table("", "dim_n").count() == 10)
+    r.run(dag(15)) // overlapping increment: 0-14 replace/append onto 0-9
+    assert(target.table("", "dim_n").count() == 15,
+      "re-run must merge the increment into the existing table")
+  }
+
+  test("materialized: merge — only configured columns update on match") {
+    val (target, r) = runner()
+    import spark.implicits._
+    Seq((1, "a", 10), (2, "b", 20)).toDF("k", "name", "v")
+      .createOrReplaceTempView("mrg_src1")
+    Seq((2, "B", 200), (3, "C", 300)).toDF("k", "name", "v")
+      .createOrReplaceTempView("mrg_src2")
+    r.run(Seq(Model("m", "select * from mrg_src1",
+      materialized = Materialization.Merge(Seq("k")))))
+    r.run(Seq(Model("m", "select * from mrg_src2",
+      materialized = Materialization.Merge(Seq("k"),
+        updateColumns = Seq("v")))))
+    val rows = target.table("", "m").orderBy(col("k")).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getInt(2))).toSeq
+    // k=2 matched: v updates to 200, name keeps "b"; k=3 inserts whole
+    assert(rows == Seq((1, "a", 10), (2, "b", 200), (3, "C", 300)), rows)
+  }
+
+  test("materialized: snapshot (check) — DAG run builds SCD-2 history") {
+    val (target, r) = runner()
+    import spark.implicits._
+    Seq((1, "x"), (2, "y")).toDF("k", "v")
+      .createOrReplaceTempView("snap_src1")
+    Seq((1, "x2"), (2, "y")).toDF("k", "v")
+      .createOrReplaceTempView("snap_src2")
+    r.run(Seq(Model("h", "select * from snap_src1",
+      materialized = Materialization.SnapshotCheck(Seq("k"),
+        "2024-01-01 00:00:00"))))
+    r.run(Seq(Model("h", "select * from snap_src2",
+      materialized = Materialization.SnapshotCheck(Seq("k"),
+        "2024-01-02 00:00:00"))))
+    val h = target.table("", "h")
+    assert(h.count() == 3, "k=1 changed (2 versions) + k=2 unchanged (1)")
+    assert(h.filter(col("k") === 1 && col("dbt_valid_to").isNull)
+      .head().getAs[String]("v") == "x2")
+    assert(h.filter(col("k") === 1 && col("dbt_valid_to").isNotNull)
+      .head().getAs[String]("v") == "x")
+  }
 }
 
 class DataTestsSpec extends AnyFunSuite {
@@ -579,5 +633,31 @@ class ClusteredWriteSpec extends AnyFunSuite {
       cat.clusterPartitions("", "bad", wide, "p", 1, Seq("k"))
     }
     assert(e.getMessage.contains(">512"))
+  }
+
+  test("clusterPartitions: NULL partition values route to the hive " +
+      "default partition, none dropped") {
+    val cat = freshCatalog("clusterpartnull")
+    import spark.implicits._
+    // p has 2 real values + nulls (every 5th row)
+    val df = (0 until 300)
+      .map(i => (if (i % 5 == 0) None else Some(i % 2), i, s"v$i"))
+      .toDF("p", "k", "v")
+    cat.clusterPartitions("", "t", df, partCol = "p",
+      numFilesPerPart = 1, clusterCols = Seq("k"))
+    val dirs = cat.fs.listStatus(cat.relationPath("", "t"))
+      .filter(_.isDirectory).map(_.getPath.getName).sorted
+    assert(dirs.toSeq == Seq("p=0", "p=1", "p=__HIVE_DEFAULT_PARTITION__"),
+      dirs.toSeq)
+    // content parity INCLUDING the null-partition rows
+    val got = cat.table("", "t")
+      .select(col("p"), col("k"), col("v")).collect()
+      .map(r => (if (r.isNullAt(0)) -1 else r.getInt(0),
+        r.getInt(1), r.getString(2))).toSet
+    val exp = df.collect()
+      .map(r => (if (r.isNullAt(0)) -1 else r.getInt(0),
+        r.getInt(1), r.getString(2))).toSet
+    assert(got == exp)
+    assert(cat.table("", "t").filter(col("p").isNull).count() == 60)
   }
 }

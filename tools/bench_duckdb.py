@@ -35,15 +35,27 @@ def main(sf_dir, oracle_path, runs=3):
     excl = [p for p in os.environ.get("GRAFT_EXCLUDE", "").split(",") if p]
     # GRAFT_ONLY mirrors SPARK_GRAFT_ONLY: restrict to these prefixes
     only = [p for p in os.environ.get("GRAFT_ONLY", "").split(",") if p]
-    # Gate-scale-only oracles: these r9 driver gates verify approximate
+    # Gate-scale-only oracles: driver gates that verify approximate
     # operators by recomputing the EXACT answer quadratically (all-pairs
     # jaccard / all-pairs cosine over the full table). Correct and cheap
     # at the sf0.01 correctness gate; structurally infeasible as a
     # timing replay at protocol SFs, where the Spark side keeps running
     # them (they land in the no-oracle bucket of mk_baseline, like any
-    # Spark-only key). Override with GRAFT_INCLUDE_QUADRATIC=1.
-    quadratic = {"d2_dedup_minhash", "d4_dedup_simhash",
-                 "d5b_embed_neardup_lsh", "d11_semdedup"}
+    # Spark-only key). The authoritative list is declared per-Q in Scala
+    # (Q.quadraticOracle) and dumped by graft.Verify as oracle_meta.json
+    # next to oracle_sql.json — read it from there so a future quadratic
+    # gate cannot be silently missing from a replay-side copy. The
+    # hardcoded fallback only covers replaying a pre-r10 oracle dump.
+    import os.path
+    meta_path = os.path.join(os.path.dirname(oracle_path), "oracle_meta.json")
+    if os.path.exists(meta_path):
+        quadratic = set(json.load(open(meta_path))["quadratic_oracles"])
+    else:
+        print("bench_duckdb: no oracle_meta.json next to oracle dump; "
+              "falling back to the pre-r10 hardcoded quadratic list",
+              file=sys.stderr)
+        quadratic = {"d2_dedup_minhash", "d4_dedup_simhash",
+                     "d5b_embed_neardup_lsh", "d11_semdedup"}
     if os.environ.get("GRAFT_INCLUDE_QUADRATIC") == "1":
         quadratic = set()
     names = sorted(n for n in oracle
