@@ -275,16 +275,21 @@ object LlmText extends QueryModule {
       }),
 
     // ─── t3: token counting (whitespace + BPE-ish regex) ───
+    // Native one-pass TokenCounts since r11: the previous form
+    // materialized two split arrays plus regexp_extract_all's full
+    // match list just to count it (8.4 s / 13x at sf10 under the
+    // full-plan action; 0.9 s native). Counted semantics identical —
+    // see the expression's scaladoc for the regex-to-scan mapping.
     "t3_tokcount" -> Q(
       (s, dir) => {
         t(s, dir, "documents")
           .select(col("doc_id"),
-            size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
-            size(regexp_extract_all(col("text"),
-              lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
-              .cast("long").as("re_tokens"),
-            (length(col("text")).cast("double") /
-              size(split(trim(col("text")), "\\s+"))).as("chars_per_token"))
+            graft.functions.TokenCounts.of(col("text")).as("tc"))
+          .select(col("doc_id"),
+            col("tc.ws_tokens").as("ws_tokens"),
+            col("tc.re_tokens").as("re_tokens"),
+            (col("tc.n_chars").cast("double") / col("tc.ws_tokens"))
+              .as("chars_per_token"))
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,
@@ -610,15 +615,20 @@ object LlmText extends QueryModule {
     // bit-identical. At 100 TB a real blocklist (thousands of terms)
     // becomes a broadcast set or an Aho-Corasick expression — the
     // plan shape (narrow scan, no exchange) is already the right one.
+    // Native one-pass BlockWordStats since r11: the previous form
+    // paid a whitespace-collapsing regexp_replace, a split allocation,
+    // and an interpreted per-word lambda (6.4 s / 10x at sf10 under
+    // the full-plan action). Same run/membership semantics — see the
+    // expression's scaladoc.
     "t14_blocklist" -> Q(
       (s, dir) => {
         val block = Seq("merge", "hash", "stream")
         t(s, dir, "documents")
-          .withColumn("words", split(norm(col("text")), " "))
           .select(col("doc_id"),
-            size(col("words")).cast("long").as("n_words"),
-            size(filter(col("words"), w => w.isInCollection(block)))
-              .cast("long").as("n_flagged"))
+            graft.functions.BlockWordStats.of(col("text"), block).as("bs"))
+          .select(col("doc_id"),
+            col("bs.n_words").as("n_words"),
+            col("bs.n_flagged").as("n_flagged"))
           .withColumn("flag_frac",
             col("n_flagged").cast("double") / col("n_words").cast("double"))
           .withColumn("keep", col("flag_frac") <= 0.05)
@@ -640,29 +650,25 @@ object LlmText extends QueryModule {
     // ─── t16: character-entropy quality signal ───
     // Shannon entropy of the per-document character distribution —
     // the gibberish/binary-noise detector (low entropy = repeated
-    // filler, implausibly high = random bytes). Shuffle-free: the
-    // char histogram is computed per row with higher-order functions
-    // over the (sorted) distinct-char alphabet, O(|alphabet|·len) per
-    // doc with a ~40-char alphabet — linear in corpus size, scan
-    // speed, no explode+groupBy exchange. Both engines fold the term
-    // list in the SAME sorted-char order with a left fold from 0.0,
-    // so the double sums are order-identical; the only cross-engine
-    // wobble is log2's last ulp, absorbed by round(6).
+    // filler, implausibly high = random bytes). Shuffle-free, and
+    // since r11 a single native codegen pass per document
+    // (CharEntropyStats): the previous higher-order-function
+    // histogram (`transform(distinct, c -> size(filter(chars, ..)))`)
+    // was O(|alphabet|·len) per doc in interpreted lambda evaluation
+    // and the full-plan bench action surfaced it at 51 s / 21x at
+    // sf10. The native pass accumulates the entropy terms in the same
+    // ascending code-point order as the oracle's sorted-char left
+    // fold, so the double sums stay order-identical; the only
+    // cross-engine wobble is log2's last ulp, absorbed by round(6).
     "t16_char_entropy" -> Q(
       (s, dir) => {
         t(s, dir, "documents")
-          .withColumn("chars", split(norm(col("text")), ""))
-          .withColumn("counts", expr(
-            """transform(array_sort(array_distinct(chars)),
-                 c -> size(filter(chars, x -> x = c)))"""))
           .select(col("doc_id"),
-            size(col("chars")).cast("long").as("n_chars_norm"),
-            size(col("counts")).cast("long").as("n_distinct_chars"),
-            round(expr(
-              """aggregate(counts, cast(0.0 as double),
-                   (acc, c) -> acc - (c / cast(size(chars) as double))
-                     * log2(c / cast(size(chars) as double)))"""), 6)
-              .as("entropy"))
+            graft.functions.CharEntropyStats.of(norm(col("text"))).as("st"))
+          .select(col("doc_id"),
+            col("st.n_chars_norm").as("n_chars_norm"),
+            col("st.n_distinct_chars").as("n_distinct_chars"),
+            round(col("st.entropy"), 6).as("entropy"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH base AS (

@@ -233,6 +233,15 @@ object Relational2 extends QueryModule {
         ORDER BY o_orderstatus""")),
 
     // ─── q27: multi count-distinct ───
+    // The 3-way Expand this plans through (RewriteDistinctAggregates'
+    // general form) is FINE here, and measurably better than the
+    // q27b-style pre-dedup rewrite: an r11 sf10 A/B had this form at
+    // 2.5 s vs 11.7 s for two pre-deduped two-level aggregates joined
+    // on flag (two corpus scans + a second shuffle layer cost more
+    // than the 3x-row Expand whose partial aggregate carries only
+    // fixed-width count buffers). The Expand is only pathological when
+    // a per-group VARIABLE-width buffer rides on it — q27b's HLL
+    // sketch, fixed there.
     "q27_countd" -> Q(
       (s, dir) => {
         t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
@@ -259,14 +268,32 @@ object Relational2 extends QueryModule {
     // goes red; the estimate is deterministic for fixed data. rsd=0.01
     // (vs the 0.05 default, which lands 2.7% off at this cardinality):
     // the sketch precision is the accuracy dial, the gate tolerance
-    // stays a meaningful 2%. Still one aggregate pass: exact+approx
-    // share the same partial HashAggregate.
+    // stays a meaningful 2%.
+    //
+    // Two-level aggregate (r11): `countDistinct + approx + count` in
+    // ONE aggregate plans through RewriteDistinctAggregates' Expand,
+    // whose partial aggregate keys on (flag, partkey, gid) — and the
+    // ~KB-scale rsd=0.01 HLL buffer then rides on every one of the
+    // MILLIONS of distinct-side groups in the partial hash map. That,
+    // not the 2x row expansion itself, is the pathology (the full-plan
+    // bench action surfaced it at 56 s / 208x at sf10; q27's
+    // fixed-width-buffer Expand is fine at 2.5 s). Instead:
+    // pre-aggregate on (flag, partkey), then count the deduped keys
+    // and sum their multiplicities at the top. The HLL sketch moves to
+    // the deduped level unchanged: HLL registers are
+    // duplicate-insensitive (same hash -> same register max), so the
+    // estimate is bit-identical to sketching the raw corpus, and only
+    // 3 sketch buffers exist per task. Measured: 56.2 -> 4.2 s at
+    // sf10.
     "q27b_approx_countd" -> Q(
       (s, dir) => {
-        t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
-          approx_count_distinct(col("l_partkey"), 0.01).as("approx_ndp"),
-          countDistinct(col("l_partkey")).as("exact_ndp"),
-          count(lit(1)).as("n"))
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_partkey"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("l_returnflag")).agg(
+            approx_count_distinct(col("l_partkey"), 0.01).as("approx_ndp"),
+            count(lit(1)).as("exact_ndp"),
+            sum(col("cnt")).as("n"))
           .select(col("l_returnflag"), col("exact_ndp"), col("n"),
             (abs(col("approx_ndp") - col("exact_ndp"))
               <= col("exact_ndp") * 0.02).as("approx_ok"))

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{BlockWordStats, TokenCounts}
+
+/** The codegen'd TokenCounts / BlockWordStats scans must be
+  * result-identical to the regex/split/HOF compositions they replaced
+  * in t3 / t14.
+  */
+class TextScanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val block = Seq("merge", "hash", "stream")
+
+  /** The pre-r11 t3 arm, verbatim. */
+  private def t3Interp(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("id"),
+      size(split(trim(col("s")), "\\s+")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("s"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("long").as("re_tokens"),
+      length(col("s")).cast("long").as("n_chars"))
+
+  private def t3Native(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("id"), TokenCounts.of(col("s")).as("tc"))
+      .select(col("id"), col("tc.ws_tokens").as("ws_tokens"),
+        col("tc.re_tokens").as("re_tokens"),
+        col("tc.n_chars").as("n_chars"))
+
+  /** The pre-r11 t14 arm, verbatim. */
+  private def t14Interp(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("words",
+        split(lower(trim(regexp_replace(col("s"), "\\s+", " "))), " "))
+      .select(col("id"),
+        size(col("words")).cast("long").as("n_words"),
+        size(filter(col("words"), w => w.isInCollection(block)))
+          .cast("long").as("n_flagged"))
+
+  private def t14Native(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("id"), BlockWordStats.of(col("s"), block).as("bs"))
+      .select(col("id"), col("bs.n_words").as("n_words"),
+        col("bs.n_flagged").as("n_flagged"))
+
+  private def docs = spark.read
+    .parquet(s"${TestSpark.SF}/documents.parquet")
+    .select(col("doc_id").as("id"), col("text").as("s"))
+
+  test("TokenCounts parity with the regex forms on the real corpus") {
+    val n = docs.count()
+    val matched = t3Native(docs)
+      .join(t3Interp(docs), Seq("id", "ws_tokens", "re_tokens", "n_chars"))
+      .count()
+    assert(matched == n, s"TokenCounts must agree on all $n docs")
+  }
+
+  test("BlockWordStats parity with the split+filter form on the corpus") {
+    val n = docs.count()
+    val matched = t14Native(docs)
+      .join(t14Interp(docs), Seq("id", "n_words", "n_flagged")).count()
+    assert(matched == n, s"BlockWordStats must agree on all $n docs")
+  }
+
+  test("edge cases: empties, mixed runs, case, multi-byte, null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("")),
+      (2L, Some("   ")),
+      (3L, Some("a1b .. x9")),
+      (4L, Some("MERGE Hash stream hashx merge.")),
+      (5L, Some("héllo wörld 漢字 merge")),
+      (6L, Some("\tmerge\n\nhash\r stream ")),
+      (7L, None: Option[String]))
+      .toDF("id", "s")
+    val present = df.filter(col("s").isNotNull)
+    val a = t3Native(present).orderBy(col("id")).collect()
+    val b = t3Interp(present).orderBy(col("id")).collect()
+    a.zip(b).foreach { case (x, y) =>
+      (1 to 3).foreach(i => assert(x.getLong(i) == y.getLong(i),
+        s"t3 field $i row ${x.getLong(0)}: ${x} vs ${y}"))
+    }
+    val c = t14Native(present).orderBy(col("id")).collect()
+    val d = t14Interp(present).orderBy(col("id")).collect()
+    c.zip(d).foreach { case (x, y) =>
+      (1 to 2).foreach(i => assert(x.getLong(i) == y.getLong(i),
+        s"t14 field $i row ${x.getLong(0)}: ${x} vs ${y}"))
+    }
+    // null input -> null structs
+    val nulls = df.filter(col("id") === 7)
+      .select(TokenCounts.of(col("s")), BlockWordStats.of(col("s"), block))
+      .collect()(0)
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+    // known values: "MERGE Hash stream hashx merge." flags 3 of 5
+    // (hashx doesn't match; "merge." doesn't match — punctuation)
+    assert(c(3).getLong(1) == 5L && c(3).getLong(2) == 3L)
+  }
+}
