@@ -118,17 +118,29 @@ object LlmPipeline extends QueryModule {
     // kept because both engines then compare bit-identical keys.
     "d9_contamination" -> Q(
       (s, dir) => {
+        // Shingles live ONLY as 16-byte native signatures
+        // (WordShingleSigs): no shingle string is ever built, and the
+        // bench-probe join + the per-doc count exchange both move
+        // 16-byte keys instead of ~40-byte 5-gram strings (t10/t18's
+        // exchange rule). The bench branch's doc_id filter pushes
+        // below the normalize+hash projection, so the corpus-side
+        // subtree is the only full normalize+hash pass (the r11 fix
+        // for the 309 s full-plan row the r10 action surfaced).
         val docs = t(s, dir, "documents")
-          .withColumn("words",
-            split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "))
-        val sh = docs.filter(size(col("words")) >= 5)
+        val sh = docs
           .select(col("doc_id"),
-            explode(transform(sequence(lit(1), size(col("words")) - 4),
-              i => concat_ws(" ", slice(col("words"), i, lit(5))))).as("g"))
+            explode(graft.functions.WordShingleSigs.of(
+              split(lower(trim(regexp_replace(col("text"), "\\s+", " "))),
+                " "), 5)).as("g"))
         val bench = sh.filter(col("doc_id") % 97 === 0)
           .select(col("g")).distinct()
+        // bench is DISTINCT on g, so the inner join is exactly a
+        // left-semi probe — no join output materializes, each corpus
+        // shingle is a hash lookup (AQE may still elect broadcast when
+        // the bench side is genuinely benchmark-sized; the synthetic
+        // %97 bench is corpus-proportional, so no broadcast is forced)
         val cnt = sh.filter(col("doc_id") % 97 =!= 0)
-          .join(bench, Seq("g"))
+          .join(bench, Seq("g"), "left_semi")
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cont"))
         docs.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
           .join(cnt, Seq("doc_id"), "left_outer")

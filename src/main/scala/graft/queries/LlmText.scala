@@ -45,15 +45,16 @@ object LlmText extends QueryModule {
         // split + sort + two md5s over the full body) once per branch —
         // three full corpus scans. Here the signatures project ONCE,
         // and everything after moves only (doc_id, lang, sig, bag_sig)
-        // ≈ 90 B/row through two hash exchanges — at 100 TB the parse
+        // ≈ 60 B/row — 16-byte binary sigs since r11, not 32-char hex
+        // strings — through two hash exchanges; at 100 TB the parse
         // cost dominates, so single-scan is the difference between one
         // corpus read and three.
         val sigs = t(s, dir, "documents")
           .withColumn("nrm", norm(col("text")))
           .select(col("doc_id"), col("lang"),
-            md5(col("nrm")).as("sig"),
-            md5(array_join(
-              array_sort(array_distinct(split(col("nrm"), " "))), " "))
+            unhex(md5(col("nrm"))).as("sig"),
+            unhex(md5(array_join(
+              array_sort(array_distinct(split(col("nrm"), " "))), " ")))
               .as("bag_sig"))
         sigs
           .withColumn("keep_id",
@@ -96,11 +97,19 @@ object LlmText extends QueryModule {
         val copies = docs.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
             col("text"))
+        // Window group-min (d1's shape), not groupBy+self-join: the
+        // join form recomputes the normalize+md5 projection once per
+        // branch and ships 32-char hex sig STRINGS through two
+        // exchanges; here the signature projects once and moves as a
+        // 16-byte binary key (full-plan r10 row: 50 s at sf100 vs
+        // DuckDB 4 s — the rewrite removes both the double scan and
+        // the string exchange).
         val unioned = docs.union(copies)
-          .withColumn("sig", md5(norm(col("text"))))
-        val keep = unioned.groupBy(col("sig"))
-          .agg(min(col("doc_id")).as("keep_id"))
-        unioned.join(keep, "sig")
+          .withColumn("sig", unhex(md5(norm(col("text")))))
+        unioned
+          .withColumn("keep_id",
+            min(col("doc_id")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("sig"))))
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_input"),
             sum(when(col("doc_id") === col("keep_id"), 1L).otherwise(0L))

@@ -20,7 +20,7 @@ object Relational extends QueryModule {
     * to decimal(18,s), exact decimal sum, result as double.
     */
   private def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast("double")
+    graft.functions.Dnum.dsum(c, scale)
 
   /** DuckDB rendering of [[dsum]]. */
   private def dsumSql(expr: String, scale: Int = 2): String =
@@ -30,7 +30,7 @@ object Relational extends QueryModule {
     * identical operands in both engines.
     */
   private def davg(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast("double") / count(c)
+    graft.functions.Dnum.davg(c, scale)
 
   private def davgSql(expr: String, scale: Int = 2): String =
     s"cast(sum(cast($expr as decimal(18,$scale))) as double) / count($expr)"
@@ -227,8 +227,9 @@ object Relational extends QueryModule {
           .join(sup.select(col("s_suppkey")),
             col("l_suppkey") === col("s_suppkey"), "left_semi")
           .select(col("l_orderkey"),
-            (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-              .cast(DecimalType(18, 4)).as("rev1"))
+            graft.functions.DoubleToScaledLong.of(
+              col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+              .as("rev1"))
         liF
           // shuffle_hash, not sort-merge: neither side's ordering is
           // reusable downstream, so hashing the (smaller) orders side
@@ -236,7 +237,7 @@ object Relational extends QueryModule {
           .join(ordA.hint("shuffle_hash"),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("n_nationkey"))
-          .agg(sum(col("rev1")).as("rev"))
+          .agg(graft.functions.Dnum.lsumDec(col("rev1"), 4).as("rev"))
           .join(broadcast(asiaN), Seq("n_nationkey"))
           .select(col("n_name"), col("rev").cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("n_name"))
@@ -487,7 +488,7 @@ object Relational extends QueryModule {
         val pre = t(s, dir, "orders")
           .groupBy(col("o_orderstatus"), col("o_orderpriority"))
           .agg(count(lit(1)).as("pn"),
-            sum(col("o_totalprice").cast(DecimalType(18, 2))).as("pt"))
+            graft.functions.Dnum.dsumDec(col("o_totalprice"), 2).as("pt"))
         pre
           .rollup(col("o_orderstatus"), col("o_orderpriority"))
           .agg(sum(col("pn")).as("n"), sum(col("pt")).cast("double").as("total"))

@@ -18,7 +18,7 @@ object Relational2 extends QueryModule {
   import Q.t
 
   private def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast("double")
+    graft.functions.Dnum.dsum(c, scale)
   private def dsumSql(expr: String, scale: Int = 2): String =
     s"cast(sum(cast($expr as decimal(18,$scale))) as double)"
 
@@ -327,7 +327,7 @@ object Relational2 extends QueryModule {
             col("o_custkey") === col("c_custkey"))
           .select(col("c_custkey"), col("c_mktsegment"), col("rev"))
         val segavg = withSeg.groupBy(col("c_mktsegment").as("seg"))
-          .agg((sum(col("rev").cast(DecimalType(18, 2))).cast("double") /
+          .agg((graft.functions.Dnum.dsum(col("rev"), 2) /
             count(lit(1))).as("seg_avg"))
         withSeg.join(segavg, col("c_mktsegment") === col("seg"))
           .filter(col("rev") > col("seg_avg") * lit(1.5))
@@ -572,7 +572,9 @@ object Relational2 extends QueryModule {
             col("l_quantity") <= col("p_size") + 0.5)
           .groupBy(col("p_partkey"))
           .agg(sum(col("cnt")).as("n_matches"),
-            sum(col("l_quantity").cast(DecimalType(18, 2)) * col("cnt"))
+            graft.functions.Dnum.lsumDec(
+              graft.functions.DoubleToScaledLong.of(col("l_quantity"), 2)
+                * col("cnt"), 2)
               .cast("double").as("qty"))
           .orderBy(col("p_partkey"))
       },

@@ -13,7 +13,7 @@ object Relational3 extends QueryModule {
   import Q.t
 
   private def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast("double")
+    graft.functions.Dnum.dsum(c, scale)
   private def dsumSql(expr: String, scale: Int = 2): String =
     s"cast(sum(cast($expr as decimal(18,$scale))) as double)"
 
@@ -141,8 +141,8 @@ object Relational3 extends QueryModule {
       (s, dir) => {
         val li = t(s, dir, "lineitem")
         val thresholds = li.groupBy(col("l_partkey").as("t_partkey"))
-          .agg(((sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
-            / count(col("l_quantity"))) * 0.5).as("half_avg_qty"))
+          .agg((graft.functions.Dnum.davg(col("l_quantity"), 2) * 0.5)
+            .as("half_avg_qty"))
         li.join(thresholds.hint("shuffle_hash"),
             col("l_partkey") === col("t_partkey"))
           .filter(col("l_quantity") < col("half_avg_qty"))
@@ -236,7 +236,7 @@ object Relational3 extends QueryModule {
         val isHot = (col("l_orderkey") % 100) < 30
         val hotAgg = li.filter(isHot)
           .agg(count(lit(1)).as("n_part"),
-            sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            graft.functions.Dnum.dsumDec(col("l_extendedprice"), 2)
               .as("total_part"))
           .filter(col("n_part") > 0)
         val hotDim = t(s, dir, "orders")
@@ -260,7 +260,7 @@ object Relational3 extends QueryModule {
             col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n_part"),
-            sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            graft.functions.Dnum.dsumDec(col("l_extendedprice"), 2)
               .as("total_part"))
         hot.unionByName(cold)
           .groupBy(col("o_orderpriority"))

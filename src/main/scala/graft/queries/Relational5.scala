@@ -16,7 +16,7 @@ object Relational5 extends QueryModule {
   import Q.{t, events}
 
   private def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast("double")
+    graft.functions.Dnum.dsum(c, scale)
   private def dsumSql(expr: String, scale: Int = 2): String =
     s"cast(sum(cast($expr as decimal(18,$scale))) as double)"
 
