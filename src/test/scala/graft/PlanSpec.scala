@@ -291,4 +291,48 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"band must broadcast back over the corpus:\n$p")
   }
+  test("q1/q44/q47 decimal measures ride the scaled-long path (no per-row Cast)") {
+    // the r11 bias-class fix, pinned: dsum/davg inputs must plan as
+    // double_to_scaled_long + primitive long sums, never as a per-row
+    // cast(double as decimal) whose BigDecimal allocation rides every
+    // fact row (and whose >18-digit sum buffer forces variable-length
+    // aggregation-map updates). The reconstruction to decimal happens
+    // on output groups only.
+    for (q <- Seq("q1_agg", "q44_in_having", "q47_salted_join",
+        "q65_unpivot", "q43_avg_subquery")) {
+      val p = planOf(q)
+      assert(p.contains("double_to_scaled_long"),
+        s"$q lost the scaled-long sum path:\n$p")
+      val castSums = p.linesIterator.filter(l =>
+        l.contains("partial_sum(cast(") && l.contains("as decimal")).toSeq
+      assert(castSums.isEmpty,
+        s"$q re-grew a per-row decimal cast under a partial sum: $castSums")
+    }
+  }
+
+  test("d9's shingles exchange as 16-byte sigs; probe is a semi join") {
+    // the r11 d9 fix, pinned: no shingle STRING may ever be built or
+    // partitioned on (the t10/t18 exchange rule applied to 5-grams),
+    // and the bench probe must stay a semi join (bench is distinct,
+    // so inner join output would only duplicate corpus rows).
+    val p = planOf("d9_contamination")
+    assert(p.contains("word_shingle_sigs"),
+      s"d9 lost the native shingle signatures:\n$p")
+    assert(!p.contains("concat_ws"),
+      s"d9 re-grew shingle string construction:\n$p")
+    assert(p.contains("LeftSemi"), s"d9's bench probe must be semi:\n$p")
+  }
+
+  test("d1/d1b dedup sigs are 16-byte binaries, not hex strings") {
+    // unhex(md5(..)) must survive: a regression to hex md5 strings
+    // doubles every sig exchange's key bytes and the window sort width
+    for (q <- Seq("d1_dedup_exact", "d1b_dedup_union")) {
+      val p = planOf(q)
+      assert(p.contains("unhex"), s"$q lost the binary sig keys:\n$p")
+    }
+    // d1b must be the single-scan window form: no self-join remains
+    val p1b = planOf("d1b_dedup_union")
+    assert(!p1b.contains("SortMergeJoin") && !p1b.contains("ShuffledHashJoin"),
+      s"d1b re-grew the groupBy+self-join form:\n$p1b")
+  }
 }
