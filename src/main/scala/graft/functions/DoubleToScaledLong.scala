@@ -136,12 +136,19 @@ object DoubleToScaledLong {
   *
   * Overflow safety WITHOUT decimal buffers: each scaled long is split
   * hi = v / 10⁶, lo = v % 10⁶ (exact for every long, signs agree), and
-  * the two halves are summed as plain longs. Group capacity is then
-  * ~9.2×10¹⁸ on each half: lo overflows first, at ~9.2×10¹² rows per
-  * group (a million times the sf100 gate; ANSI long sums throw loudly,
-  * not wrap, if ever reached). The halves are recombined as
+  * the two halves are summed as plain longs. Each half has ~9.2×10¹⁸
+  * of headroom, so the per-group row capacity is
+  * 9.2×10¹⁸ / max(|hi|, 10⁶) ≈ 9.2×10¹⁸·min(10⁻⁶, 10⁶/maxUnscaled):
+  * at this suite's magnitudes (|values| ≤ ~10⁵, scale ≤ 6 ⇒ unscaled
+  * ≤ ~10¹¹, hi ≤ ~10⁵) that is ≥ ~9.2×10¹² rows per group — a million
+  * times the sf100 gate — but a caller summing values near the 10¹⁸
+  * unscaled cap (hi ~ 10¹²) would overflow sum(hi) at ~9.2×10⁶ rows.
+  * NOTE: under default (non-ANSI) Spark a plain long sum WRAPS silently
+  * on overflow rather than throwing — the capacity bound above is the
+  * actual invariant, not a runtime guard. The halves are recombined as
   * decimal(38,0) arithmetic on the handful of OUTPUT groups, where the
-  * division by 10^s is exact (scale-6 result ≥ s) and the final
+  * division by 10^s is exact (the quotient's fixed scale-6 result
+  * covers every s ≤ 6 — enforced by lsumDec's require) and the final
   * cast(double) is the same correctly-rounded conversion the old form
   * ended with.
   */
@@ -153,6 +160,12 @@ object Dnum {
     * after a final cast).
     */
   def lsumDec(v: Column, scale: Int): Column = {
+    // decimal(38,0) / bigint yields decimal(38,6): the reconstruction
+    // divide is value-exact only for scale <= 6. DoubleToScaledLong
+    // permits scale <= 8, so fail loudly here instead of silently
+    // rounding a scale-7/8 caller's sums (ADVICE r11).
+    require(scale >= 0 && scale <= 6,
+      s"lsumDec scale $scale exceeds the exact-division range (<= 6)")
     // hi/lo split via integral division; lo is defined FROM hi so the
     // recombination hi*10^6 + lo == v holds under either division
     // convention (truncate or floor) on negatives.

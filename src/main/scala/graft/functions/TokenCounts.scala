@@ -23,10 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *     ASCII class `[ \t\n\x0B\f\r]` — with two split edges
   *     preserved: an empty trimmed string yields `[""]` (floor 1),
   *     and since `trim` strips only ASCII SPACES, a string whose
-  *     first non-space char is other whitespace (tab/newline) keeps a
-  *     leading empty token (`"\ta b"` splits to `["", "a", "b"]`;
-  *     trailing empties are dropped by `split`, so the tail needs no
-  *     adjustment).
+  *     first (resp. last) non-space char is other whitespace
+  *     (tab/newline) keeps a leading (resp. trailing) empty token —
+  *     Spark's `split` uses limit -1, which KEEPS trailing empties:
+  *     `"\ta b"` → `["", "a", "b"]`, `"a b\t"` → `["a", "b", ""]`,
+  *     `"\t"` → `["", ""]`.
   *   - `re_tokens` = number of matches of
   *     `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]`: each maximal letter run is
   *     one token, each maximal digit run is one token, and every
@@ -118,14 +119,20 @@ object TokenCounts {
         }
       }
     }
-    // split(trim(""), "\s+") yields [""] -> size 1
-    if (wsTokens == 0L) wsTokens = 1L
+    // Mirror size(split(trim(text), "\s+")) exactly. trim strips only
+    // ASCII 0x20 at the edges; split (limit -1) keeps BOTH a leading
+    // and a trailing empty token when the trimmed string starts/ends
+    // with non-space whitespace, and split("", ...) is [""].
+    var f = 0
+    while (f < bytes.length && bytes(f) == ' '.toByte) f += 1
+    var l = bytes.length - 1
+    while (l >= f && bytes(l) == ' '.toByte) l -= 1
+    if (l < f) wsTokens = 1L // trim -> "" -> [""]
     else {
-      // trim strips only 0x20: if the first non-space byte is other
-      // whitespace, split emits a leading empty token
-      var k = 0
-      while (k < bytes.length && bytes(k) == ' '.toByte) k += 1
-      if (k < bytes.length && isWs(bytes(k) & 0xFF)) wsTokens += 1
+      // isWs only matches ASCII bytes, so a UTF-8 continuation byte at
+      // position l can never be mistaken for whitespace.
+      if (isWs(bytes(f) & 0xFF)) wsTokens += 1 // leading empty token
+      if (isWs(bytes(l) & 0xFF)) wsTokens += 1 // trailing empty token
     }
     new GenericInternalRow(Array[Any](nChars, wsTokens, reTokens))
   }

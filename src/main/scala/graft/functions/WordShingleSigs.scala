@@ -45,8 +45,16 @@ case class WordShingleSigs(child: Expression, n: Int)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(StringType, _) =>
+      case ArrayType(StringType, false) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case ArrayType(StringType, true) =>
+        // compute() hashes elements without a null check; split()
+        // output (the only intended feeder) is containsNull=false, so
+        // reject nullable elements at analysis time instead of NPEing
+        // at runtime (ADVICE r11).
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "expected array<string> with non-nullable elements " +
+            "(feed split() output or wrap with filter(x -> x is not null))")
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"expected array<string>, got $other")

@@ -292,7 +292,12 @@ object Relational2 extends QueryModule {
           .agg(count(lit(1)).as("cnt"))
           .groupBy(col("l_returnflag")).agg(
             approx_count_distinct(col("l_partkey"), 0.01).as("approx_ndp"),
-            count(lit(1)).as("exact_ndp"),
+            // count(col), not count(lit(1)): a NULL partkey forms its
+            // own pre-agg group, and count(DISTINCT ...) excludes
+            // NULLs — count of the key column drops the null group so
+            // the pattern stays exact on nullable keys (ADVICE r11;
+            // lineitem's partkey is non-null, so same result here).
+            count(col("l_partkey")).as("exact_ndp"),
             sum(col("cnt")).as("n"))
           .select(col("l_returnflag"), col("exact_ndp"), col("n"),
             (abs(col("approx_ndp") - col("exact_ndp"))

@@ -71,7 +71,15 @@ class TextScanSpec extends AnyFunSuite {
       (4L, Some("MERGE Hash stream hashx merge.")),
       (5L, Some("héllo wörld 漢字 merge")),
       (6L, Some("\tmerge\n\nhash\r stream ")),
-      (7L, None: Option[String]))
+      (7L, None: Option[String]),
+      // trailing non-space whitespace: split keeps the trailing empty
+      // token (limit -1), so ws_tokens must count it (ADVICE r11)
+      (8L, Some("a b\t")),
+      // all non-space whitespace: split("\t") = ["", ""] -> 2
+      (9L, Some("\t")),
+      (10L, Some("\t\n")),
+      (11L, Some("a\t ")),
+      (12L, Some(" \t merge \n")))
       .toDF("id", "s")
     val present = df.filter(col("s").isNotNull)
     val a = t3Native(present).orderBy(col("id")).collect()
