@@ -1,6 +1,7 @@
-package graft
+package graft.prof
 
 import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
 
 /** Scratch profiling main (not part of the driver contract). */
 object Probe {

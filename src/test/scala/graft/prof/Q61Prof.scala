@@ -1,4 +1,4 @@
-package graft
+package graft.prof
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._

@@ -1,9 +1,10 @@
-package graft
+package graft.prof
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.SparkEntry
 
 /** Scratch profiling main for the round-10 measurement tasks (r9
   * verdict items 2/6/8 + the q68b crossover): NOT part of the driver
