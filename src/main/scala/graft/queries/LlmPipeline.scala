@@ -126,19 +126,33 @@ object LlmPipeline extends QueryModule {
         // below the normalize+hash projection, so the corpus-side
         // subtree is the only full normalize+hash pass (the r11 fix
         // for the 309 s full-plan row the r10 action surfaced).
+        // r12: text mode — the scanner tokenizes whitespace runs from
+        // the UTF-8 bytes directly, so the regexp_replace pass, the
+        // trimmed copy and the per-doc array<string> materialization
+        // are all gone (the TokenCounts move); only lower() remains
+        // ahead of it (one ASCII-fast-path pass per doc; Unicode case
+        // folding stays Spark's, not the scanner's).
         val docs = t(s, dir, "documents")
         val sh = docs
           .select(col("doc_id"),
             explode(graft.functions.WordShingleSigs.of(
-              split(lower(trim(regexp_replace(col("text"), "\\s+", " "))),
-                " "), 5)).as("g"))
-        val bench = sh.filter(col("doc_id") % 97 === 0)
-          .select(col("g")).distinct()
+              lower(col("text")), 5)).as("g"))
         // bench is DISTINCT on g, so the inner join is exactly a
         // left-semi probe — no join output materializes, each corpus
-        // shingle is a hash lookup (AQE may still elect broadcast when
-        // the bench side is genuinely benchmark-sized; the synthetic
-        // %97 bench is corpus-proportional, so no broadcast is forced)
+        // shingle is a hash lookup. The distinct set is materialized
+        // (cache + count, the q41 pattern) so the UNHINTED 64 MB size
+        // check plans on its TRUE size: Catalyst estimates a distinct
+        // at its corpus-sized input, planned a shuffle semi at sf100
+        // (two 250M-row exchange stages, ~1000 s of CPU), where the
+        // realized benchmark shingle domain is ~240k sigs ≈ 4 MB — a
+        // benchmark set is fixed-size at the 100 TB design point, and
+        // with it broadcast the corpus side never exchanges at all
+        // (r12 stage attribution: 88.8 → 36.8 s at sf100, ~0.94x vs
+        // DuckDB). A bench outgrowing the threshold degrades back to
+        // the shuffle semi — size-checked, never forced.
+        val bench = sh.filter(col("doc_id") % 97 === 0)
+          .select(col("g")).distinct().cache()
+        bench.count() // materialize: the probe below plans on true size
         val cnt = sh.filter(col("doc_id") % 97 =!= 0)
           .join(bench, Seq("g"), "left_semi")
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cont"))

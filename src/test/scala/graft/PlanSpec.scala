@@ -321,6 +321,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("concat_ws"),
       s"d9 re-grew shingle string construction:\n$p")
     assert(p.contains("LeftSemi"), s"d9's bench probe must be semi:\n$p")
+    // r12: text mode — no split() array may feed the shingler (the
+    // scanner tokenizes the UTF-8 bytes directly), and the bench
+    // distinct is cache+count-materialized so the semi probe plans as
+    // a BROADCAST on the true (benchmark-sized) set: the corpus side
+    // must never exchange on g (a shuffle semi at sf100 was two
+    // 250M-row exchange stages for a 4 MB realized bench domain).
+    assert(!p.contains("split("),
+      s"d9 re-grew the split() array pass ahead of the shingler:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan In-memory"),
+      s"d9's bench distinct must be cache-materialized:\n$p")
+    val semiLine = p.linesIterator.find(_.contains("LeftSemi")).get
+    assert(semiLine.contains("BroadcastHashJoin"),
+      s"d9's semi probe must plan as a broadcast on the true bench " +
+        s"size, not a corpus-side exchange:\n$p")
   }
 
   test("d1/d1b dedup sigs are 16-byte binaries, not hex strings") {

@@ -58,6 +58,41 @@ class ShingleSigSpec extends AnyFunSuite {
     assert(strings.count() === sigs.count())
   }
 
+  test("text mode ≡ array mode: corpus and adversarial whitespace") {
+    // corpus: the byte-level whitespace tokenizer must produce exactly
+    // the sig stream of the split() array form, doc for doc
+    val docs = spark.read.parquet(s"${TestSpark.SF}/documents.parquet")
+    val viaArray = docs.select(col("doc_id"),
+      posexplode(WordShingleSigs.of(
+        split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "),
+        5)))
+    val viaText = docs.select(col("doc_id"),
+      posexplode(WordShingleSigs.of(lower(col("text")), 5)))
+    assert(viaArray.exceptAll(viaText).count() === 0L)
+    assert(viaText.exceptAll(viaArray).count() === 0L)
+    assert(viaText.count() > 0L)
+    // adversarial edges: every \s char, runs, edges, multi-byte words,
+    // ws-only and empty text
+    import spark.implicits._
+    val edge = Seq(
+      "a b c d e f",
+      "  a\t\tb\ncd\fe\rf  ",
+      "\ta b c d e\n",
+      "héllo wörld 漢字 one two three",
+      "a b c d", // < n words
+      "   \t\n ", // ws-only
+      "").zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "s")
+    val ea = edge.select(col("doc_id"), posexplode(WordShingleSigs.of(
+      split(lower(trim(regexp_replace(col("s"), "\\s+", " "))), " "), 5)))
+    val et = edge.select(col("doc_id"),
+      posexplode(WordShingleSigs.of(lower(col("s")), 5)))
+    assert(ea.exceptAll(et).count() === 0L)
+    assert(et.exceptAll(ea).count() === 0L)
+    // the tab/newline-run doc must still produce 2 windows (6 words)
+    assert(et.filter(col("doc_id") === 1).count() === 2L)
+  }
+
   test("d9 per-doc contamination counts match the string-keyed form") {
     val docs = spark.read.parquet(s"${TestSpark.SF}/documents.parquet")
       .withColumn("words",
