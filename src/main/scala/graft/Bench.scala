@@ -118,6 +118,15 @@ object Bench {
     val qs = names.map(n =>
         "\"" + n + "\":" + med.get(n).map(_.toString).getOrElse("null"))
       .mkString("{", ",", "}")
+    // Per-query spread ((max-min)/median across passes) on the full
+    // line only: the r12 protocol auto-isolates high-spread leg rows
+    // (q1's 27.1-vs-5.4 and d9's 88.8-vs-80.4 proved a single leg
+    // median can misgrade a plan 5x under host throttle).
+    val qspreads = ok.map { n =>
+      val xs = samples.map(_(n))
+      val sp = if (med(n) > 0) (xs.max - xs.min) / med(n) else 0.0
+      "\"" + n + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, sp)
+    }.mkString("{", ",", "}")
     // When anything failed the headline total is NOT comparable with
     // other rounds (the sum silently shrank), so report it as null and
     // expose the partial sum separately as total_ok + n_failed.
@@ -128,7 +137,7 @@ object Bench {
     // this; at 125 queries it is ~5 KB and cannot fit the driver's
     // 2000-char stdout tail window, which is why BENCH_r1..r8 all
     // carry "parsed": null).
-    val fullLine = s"""{"metric":"queries_full","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"spread":$spread,"total_ok":$totalOk,"n_failed":${failed.size},"failed":$failedJson}"""
+    val fullLine = s"""{"metric":"queries_full","value":$total,"unit":"sec","queries":$qs,"qspreads":$qspreads,"sf":"$sfDir","runs":$runs,"spread":$spread,"total_ok":$totalOk,"n_failed":${failed.size},"failed":$failedJson}"""
     println(fullLine)
     // Headline line LAST and compact (≤ ~1.5 KB): aggregates plus the
     // 25 slowest queries at 3 decimals — everything a regression read

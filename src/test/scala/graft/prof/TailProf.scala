@@ -48,7 +48,94 @@ object TailProf {
       inter.union(exc).select(col("op"), col("n")).orderBy(col("op"))
     }
 
+    // q4 A/B arms (r11 verdict task #4): both corpus-proportional
+    // sides shuffle for the left-semi — which exchange-cutting lever
+    // actually bites?
+    def q4With(shHint: Boolean, distinctLi: Boolean): DataFrame = {
+      val ord = orders
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+      var li: DataFrame = lineitem.filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"))
+      if (distinctLi) li = li.distinct()
+      val liH = if (shHint) li.hint("shuffle_hash") else li
+      ord.join(liH, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }
+    def withConf(kv: (String, String)*)(f: => DataFrame): DataFrame = {
+      kv.foreach { case (k, v) => spark.conf.set(k, v) }
+      f
+    }
+
+    println("[tailprof] bloomFilter.enabled default = " + spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.enabled") +
+      ", creationSideThreshold default = " + spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"))
+    def noBloom(f: => DataFrame): DataFrame = withConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false")(f)
+
     val arms: Map[String, () => DataFrame] = Map(
+      // q27b split (r11 verdict task #4): the gate's exact-count
+      // verdict vs the HLL-only operator a user actually runs
+      "q27b" -> (() =>
+        graft.SparkEntry.queries("q27b_approx_countd")(spark, sfDir)),
+      "q27bop" -> (() => lineitem.groupBy(col("l_returnflag")).agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_ndp"),
+        count(lit(1)).as("n")).orderBy(col("l_returnflag"))),
+      "q27" -> (() => noBloom(
+        graft.SparkEntry.queries("q27_countd")(spark, sfDir))),
+      // m1 encoder-tax A/B (r11 verdict task #5): the typed
+      // mapPartitions path vs an all-codegen projection computing the
+      // SAME stub features (upper bound of a native expression port),
+      // and the shipped form without its output sort.
+      "m1" -> (() =>
+        graft.SparkEntry.queries("m1_multimodal")(spark, sfDir)),
+      "m1sql" -> (() => {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        docs.select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          (lit(64L) + octet_length(col("text")).cast("long") % 256L)
+            .as("width"),
+          (lit(64L) + (octet_length(col("text")).cast("long") * 31L) % 256L)
+            .as("height"),
+          ascii(col("text").substr(lit(1), lit(1))).cast("long")
+            .as("first_byte"),
+          ascii(col("text").substr(length(col("text")), lit(1))).cast("long")
+            .as("last_byte"))
+          .orderBy(col("doc_id"))
+      }),
+      "m1nosort" -> (() => {
+        import spark.implicits._
+        val media = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"),
+            lit("utf8-text").as("format"))
+          .as[graft.queries.Multimodal.MediaIn]
+        // stubDecode, inlined (it is private in Multimodal)
+        media.mapPartitions(_.map { m =>
+          val n = m.payload.length.toLong
+          graft.queries.Multimodal.MediaFeat(m.doc_id, n,
+            64L + n % 256L, 64L + (n * 31L) % 256L,
+            if (n > 0) m.payload.head.toLong & 0xFF else -1L,
+            if (n > 0) m.payload.last.toLong & 0xFF else -1L)
+        }).toDF()
+      }),
+      "q4" -> (() => noBloom(
+        graft.SparkEntry.queries("q4_semijoin")(spark, sfDir))),
+      "q4sh" -> (() => noBloom(q4With(shHint = true, distinctLi = false))),
+      "q4dist" -> (() => noBloom(q4With(shHint = false, distinctLi = true))),
+      "q4shdist" -> (() => noBloom(q4With(shHint = true, distinctLi = true))),
+      "q4bloom" -> (() => withConf(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" ->
+          (1L << 30).toString)(
+        q4With(shHint = false, distinctLi = false))),
+      "q4shbloom" -> (() => withConf(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" ->
+          (1L << 30).toString)(
+        q4With(shHint = true, distinctLi = false))),
       "o3" -> (() => orders.select(col("o_orderstatus"),
         col("o_orderpriority"), col("o_totalprice"))),
       "o2" -> (() => orders.select(col("o_orderkey"), col("o_totalprice"))),

@@ -1,9 +1,13 @@
 #!/usr/bin/env python3
 """Render BASELINE.md from graft.Bench / bench_duckdb.py JSON outputs.
 
-Usage: mk_baseline.py sf1=<spark.json>,<duck.json> [sf10=...] > BASELINE.md
+Usage: mk_baseline.py sf1=<spark.json>,<duck.json>[,<isolated.json>]
+       [sf10=...] > BASELINE.md
 Local tooling; keeps the baseline document mechanically in sync with
-the measured numbers.
+the measured numbers. The optional third path per SF is the
+isolate_flagged.py output (fresh-JVM 3-run medians for keys whose leg
+row was flagged as a likely throttle artifact); flagged keys then show
+BOTH columns.
 """
 import json
 import sys
@@ -80,7 +84,8 @@ def classify(name):
     return "read"
 
 
-def section(sf, spark, duck):
+def section(sf, spark, duck, isolated=None):
+    isolated = isolated or {}
     # a failed query reports null on its side — keep it out of every
     # sum (it would crash or silently shrink the total) and call it out
     nulled = sorted(q for q in set(spark["queries"]) | set(duck["queries"])
@@ -127,12 +132,32 @@ def section(sf, spark, duck):
                f"{duck.get('spread', 0):.2f}. Failed queries: "
                f"{spark.get('failed', [])}.\n")
     out.append(f"\n## {sf}: per-query medians (seconds)\n")
-    out.append("| query | Spark | DuckDB | ratio | category |")
-    out.append("|---|---|---|---|---|")
-    for q in common:
-        sp, du = spark["queries"][q], duck["queries"][q]
-        out.append(f"| {q} | {sp:.3f} | {du:.3f} | {sp / max(du, 1e-9):.2f}x "
-                   f"| {classify(q)} |")
+    if isolated:
+        out.append(
+            "Flagged keys (leg spread > 2 at >= 1 s, or ratio > 3x at\n"
+            ">= 2 s) carry an `isolated` column: a fresh-JVM warm 3-run\n"
+            "median taken right after the leg (tools/isolate_flagged.py).\n"
+            "The leg column is never replaced — when the two disagree\n"
+            "the leg row was a throttle artifact and the isolated column\n"
+            "is the plan's honest grade.\n")
+        out.append("| query | Spark | isolated | DuckDB | ratio | "
+                   "iso-ratio | category |")
+        out.append("|---|---|---|---|---|---|---|")
+        for q in common:
+            sp, du = spark["queries"][q], duck["queries"][q]
+            iso = isolated.get(q)
+            iso_s = f"{iso:.3f}" if iso is not None else ""
+            iso_r = f"{iso / max(du, 1e-9):.2f}x" if iso is not None else ""
+            out.append(f"| {q} | {sp:.3f} | {iso_s} | {du:.3f} | "
+                       f"{sp / max(du, 1e-9):.2f}x | {iso_r} "
+                       f"| {classify(q)} |")
+    else:
+        out.append("| query | Spark | DuckDB | ratio | category |")
+        out.append("|---|---|---|---|---|")
+        for q in common:
+            sp, du = spark["queries"][q], duck["queries"][q]
+            out.append(f"| {q} | {sp:.3f} | {du:.3f} "
+                       f"| {sp / max(du, 1e-9):.2f}x | {classify(q)} |")
     return "\n".join(out)
 
 
@@ -140,8 +165,10 @@ def main(args):
     print(HEADER)
     for arg in args:
         sf, paths = arg.split("=")
-        spark_p, duck_p = paths.split(",")
-        print(section(sf, load(spark_p), load(duck_p)))
+        parts = paths.split(",")
+        spark_p, duck_p = parts[0], parts[1]
+        iso = load(parts[2]) if len(parts) > 2 else None
+        print(section(sf, load(spark_p), load(duck_p), iso))
 
 
 if __name__ == "__main__":
