@@ -36,6 +36,12 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k=v": ad-hoc optimizer-conf A/B runs
+    // (same contract as graft.Explain; protocol legs leave it unset)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     // SPARK_GRAFT_EXCLUDE: comma-separated prefixes to leave out of a
     // run (e.g. "c_" to skip the engine WRITE gates at a scale factor
     // whose transient write+shuffle footprint exceeds the local disk —
