@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suppress sbt's trailing "[success] Total time: …" stdout lines: the
+// bench contract wants graft.Bench's headline JSON to be the LAST line
+// of process stdout, and for eleven straight rounds the driver's
+// tail-parse failed because sbt appended its success banner after it.
+Global / showSuccess := false
+Global / showTiming := false
+// Route the forked runMain's stdout straight through instead of via
+// sbt's logger, so the JSON has no "[info] " prefix a parser would
+// have to strip (and stderr keeps its "[error]"-tagged framing out of
+// stdout entirely).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
