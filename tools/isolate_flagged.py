@@ -31,11 +31,28 @@ SPREAD_LIMIT = 2.0
 RATIO_LIMIT = 3.0
 
 
+def forced_keys():
+    """Optional force list: tools/isolate_force.txt, one key per line.
+
+    For rows the flag rule misses but that still need a fresh-JVM
+    column — q62's r11 ratio (2.63x) sits under the 3x auto-flag
+    threshold yet is exactly the carried throttle-suspect row the r11
+    verdict (task 3) wants measured clean.
+    """
+    import os
+    p = os.path.join(os.path.dirname(__file__), "isolate_force.txt")
+    if not os.path.exists(p):
+        return []
+    return [l.strip() for l in open(p) if l.strip()
+            and not l.startswith("#")]
+
+
 def flagged_keys(spark, duck):
     qs = spark.get("queries", {})
     spreads = spark.get("qspreads", {})
     dqs = duck.get("queries", {}) if duck else {}
     out = []
+    force = forced_keys()
     for q, sp in qs.items():
         if sp is None:
             continue
@@ -45,6 +62,8 @@ def flagged_keys(spark, duck):
         du = dqs.get(q)
         if du and sp / du > RATIO_LIMIT and sp >= RATIO_FLOOR_S:
             reason.append(f"ratio={sp / du:.2f}x")
+        if q in force and not reason and sp >= SPREAD_FLOOR_S:
+            reason.append("forced")
         if reason:
             out.append((q, sp, ", ".join(reason)))
     return sorted(out, key=lambda t: -t[1])
@@ -59,8 +78,10 @@ def isolate(key, sf_dir, driver_mem):
     p = subprocess.run(cmd, capture_output=True, text=True, env=env,
                        cwd="/root/repo", timeout=3600)
     for line in p.stdout.splitlines():
-        if line.strip().startswith("[info] ==") and f" {key} " in line:
-            # "[info] == <key>   median 4.332 s  (a, b, c)"
+        # "== <key>   median 4.332 s  (a, b, c)" — unprefixed since the
+        # r12 StdoutOutput change; tolerate the old "[info] " framing.
+        if line.strip().lstrip("[info] ").startswith("==") \
+                and f" {key} " in line and "median" in line:
             med = float(line.split("median")[1].split("s")[0])
             return med, time.time() - t0
     sys.stderr.write(f"[isolate] {key}: no median line "
