@@ -48,25 +48,32 @@ Query categories:
   oracle replay only re-reads the equivalent result, so these ratios
   overstate DuckDB (kept for completeness, not comparability).
 
-Round-9 protocol notes:
+Round-12 protocol notes:
+- Timing action is the FULL physical plan (`df.queryExecution.toRdd
+  .count()`, since r11): Catalyst cannot prune aggregate inputs or
+  windows out of the timed work, matching what DuckDB executes for
+  the same SQL. r1-r9 rows used `count()` and are not comparable.
 - The sandbox VM is a shared-host guest whose effective core count
   swings (tools/canary.py measured 5-28 of 32 within an hour).
   Spark and DuckDB legs run back-to-back per SF
-  (tools/run_baseline_r9.sh) and each leg's canary reading is logged,
-  so the RATIO columns stay meaningful under host throttling;
-  absolute seconds are only comparable across rounds when the canary
-  trail says quiet.
-- Four r9 driver gates (d2, d4, d5b, d11) verify approximate
+  (tools/run_baseline_r12.sh) and each leg's canary reading is
+  logged, so the RATIO columns stay meaningful under host
+  throttling; absolute seconds are only comparable across rounds
+  when the canary trail says quiet.
+- NEW r12: after each leg pair an auto-isolate pass
+  (tools/isolate_flagged.py) re-measures every flagged key (leg
+  spread > 2 at >= 1 s, ratio > 3x at >= 2 s, or force-listed) in
+  its own fresh JVM — untimed warm-up + 3-run median, same
+  full-plan action. Flagged rows publish BOTH columns; the leg row
+  is never replaced. r11 evidence: q1 27.1 s leg vs 5.4 s isolated,
+  q58 5.75 vs 1.25, q4 15.2 vs 4.8, m1 9.0 vs 1.55 — single-leg
+  medians misgraded plans up to 5x under host throttle.
+- Four driver gates (d2, d4, d5b, d11) verify approximate
   operators by recomputing the exact answer QUADRATICALLY in the
   oracle; they are correctness-gate-only (sf0.01) and excluded from
   the DuckDB timing replay at protocol SFs (they appear as Spark-only
   keys). s2's oracle is s1's brute-force SQL — an honest equivalent,
   since a SQL engine's only exact top-k is brute force.
-- r9 changed several keys' work content (d2/d4 exact-verify full
-  candidate sets instead of top-20, q27b adds an exact count-distinct
-  beside the HLL, s3 probes 4 cells, t10 keys its exchanges by
-  xxhash64, s3b/s4b are new); their per-query rows are not
-  comparable with r8's.
 """
 
 
