@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, FloatType, NullType, NumericType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, FloatType, NullType, NumericType, StringType, StructField, StructType}
 
 /** A directory of parquet files treated as a database — the Spark-first
   * re-expression of the reference's filesystem catalog
@@ -627,6 +627,24 @@ final class Catalog(val spark: SparkSession, val database: String) {
   def seedCsv(schema: String, tableName: String, csvPath: String,
       columnTypes: Map[String, DataType] = Map.empty): Unit = {
     val reader = spark.read.option("header", "true")
+    // TIME dialect decision (reference impl.py:207 convert_time_type →
+    // DuckDB TIME): Spark 4.1's native TimeType is real but the CSV
+    // datasource rejects it even under spark.sql.timeType.enabled, so
+    // declared TIME seed columns are parsed from the source text as
+    // string and cast to TIME after read — the stored parquet column
+    // IS TimeType, preserving the reference's declared-type contract.
+    // (The inference-damage rationale below doesn't apply to TIME:
+    // "09:15:00" never infers as a number, so a post-read cast of the
+    // untouched source text is lossless.)
+    val timeCols = columnTypes.collect {
+      case (n, t: org.apache.spark.sql.types.TimeType) => (n, t)
+    }
+    if (timeCols.nonEmpty) spark.conf.set("spark.sql.timeType.enabled", "true")
+    val readTypes = columnTypes.map {
+      case (n, _: org.apache.spark.sql.types.TimeType) =>
+        (n, StringType: DataType)
+      case kv => kv
+    }
     val merged =
       if (columnTypes.isEmpty) None
       else {
@@ -636,11 +654,14 @@ final class Catalog(val spark: SparkSession, val database: String) {
         require(unknown.isEmpty,
           s"seed column_types name no such column(s): ${unknown.mkString(", ")}")
         Some(StructType(inferred.map(f =>
-          columnTypes.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f))))
+          readTypes.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f))))
       }
-    val df = merged match {
+    val raw = merged match {
       case Some(s) => reader.schema(s).csv(csvPath)
       case None => reader.option("inferSchema", "true").csv(csvPath)
+    }
+    val df = timeCols.foldLeft(raw) { case (d, (n, t)) =>
+      d.withColumn(n, col(n).cast(t))
     }
     createTableAs(schema, tableName, df)
   }

@@ -529,6 +529,12 @@ object Relational extends QueryModule {
         ORDER BY c_nationkey, rn""")),
 
     // ─── q18: running sum + moving average (rows frames) ───
+    // The decimal casts here stay OFF the dsum policy deliberately:
+    // they run AFTER the o_custkey <= 50 filter (a few hundred rows at
+    // any SF — the key predicate is scale-fixed, not proportional), so
+    // the per-row BigDecimal route is O(filtered), not O(corpus); the
+    // corpus-scale cost of this key is the orders scan, and lsumDec
+    // has no windowed (`.over`) form to buy anything with.
     "q18_window_running" -> Q(
       (s, dir) => {
         val order = Window.partitionBy(col("o_custkey"))

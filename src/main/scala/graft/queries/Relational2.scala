@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.DecimalType
 
 /** Relational operator inventory, part 2 (SURVEY.md §2.2, q21–q38):
   * scalar function families, exact statistics, percentiles, CTE
@@ -162,16 +161,29 @@ object Relational2 extends QueryModule {
     "q25_stats_agg" -> Q(
       (s, dir) => {
         val c = t(s, dir, "customer")
+        // Moments on the scaled-long dsum policy (r13; was per-row
+        // decimal casts — the q62-class BigDecimal route, 17.8x vs
+        // DuckDB isolated at sf100 on a full customer scan). Scales
+        // are per-row-fit-driven under DoubleToScaledLong's
+        // decimal(18,s) contract: acctbal² ≤ 1e8 → s=6 (unscaled
+        // ≤ 1e14); acctbal·custkey ≤ 1.5e11 at sf100 → s=2 (≤ 1.5e13,
+        // headroom to ~sf10000); custkey² is integral and summed as a
+        // raw-long split sum (lsumDec s=0), no decimal cast at all.
+        // The oracle's casts moved to the same scales, so both engines
+        // round identical doubles identically — parity preserved, the
+        // derived var/corr values shift only by the shared rounding.
         val agg = c.groupBy(col("c_mktsegment")).agg(
           count(lit(1)).as("n"),
-          sum(col("c_acctbal").cast(DecimalType(18, 4))).cast("double").as("sx"),
-          sum((col("c_acctbal") * col("c_acctbal")).cast(DecimalType(28, 8)))
-            .cast("double").as("sxx"),
-          sum((col("c_acctbal") * col("c_custkey")).cast(DecimalType(28, 6)))
-            .cast("double").as("sxy"),
-          sum((col("c_custkey") * col("c_custkey")).cast(DecimalType(28, 2)))
+          graft.functions.Dnum.dsum(col("c_acctbal"), 4).as("sx"),
+          graft.functions.Dnum.dsum(
+            col("c_acctbal") * col("c_acctbal"), 6).as("sxx"),
+          graft.functions.Dnum.dsum(
+            col("c_acctbal") * col("c_custkey"), 2).as("sxy"),
+          graft.functions.Dnum.lsumDec(
+            col("c_custkey") * col("c_custkey"), 0)
             .cast("double").as("syy"),
-          sum(col("c_custkey").cast(DecimalType(18, 2))).cast("double").as("sy"),
+          graft.functions.Dnum.lsumDec(col("c_custkey"), 0)
+            .cast("double").as("sy"),
           min(col("c_acctbal")).as("min_bal"),
           max(col("c_acctbal")).as("max_bal"),
           max_by(col("c_custkey"), col("c_acctbal")).as("richest_cust"),
@@ -194,10 +206,10 @@ object Relational2 extends QueryModule {
           SELECT c_mktsegment,
             count(*) AS n,
             cast(sum(cast(c_acctbal as decimal(18,4))) as double) AS sx,
-            cast(sum(cast(c_acctbal * c_acctbal as decimal(28,8))) as double) AS sxx,
-            cast(sum(cast(c_acctbal * c_custkey as decimal(28,6))) as double) AS sxy,
-            cast(sum(cast(c_custkey * c_custkey as decimal(28,2))) as double) AS syy,
-            cast(sum(cast(c_custkey as decimal(18,2))) as double) AS sy,
+            cast(sum(cast(c_acctbal * c_acctbal as decimal(18,6))) as double) AS sxx,
+            cast(sum(cast(c_acctbal * c_custkey as decimal(18,2))) as double) AS sxy,
+            cast(sum(cast(c_custkey * c_custkey as decimal(28,0))) as double) AS syy,
+            cast(sum(cast(c_custkey as decimal(18,0))) as double) AS sy,
             min(c_acctbal) AS min_bal,
             max(c_acctbal) AS max_bal,
             arg_max(c_custkey, c_acctbal) AS richest_cust,

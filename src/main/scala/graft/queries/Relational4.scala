@@ -236,6 +236,10 @@ object Relational4 extends QueryModule {
     // Sliding 1-hour event-time window per user expressed as a RANGE
     // frame over epoch-micros — the value-based frame the streaming
     // window would maintain incrementally.
+    // Decimal cast stays off the dsum policy for the same reason as
+    // q18: it runs after the scale-fixed user_id <= 30 filter, so the
+    // BigDecimal route is O(filtered) while the key's corpus-scale
+    // cost is the events scan; no windowed lsumDec form exists.
     "q54_range_frame" -> Q(
       (s, dir) => {
         val w = org.apache.spark.sql.expressions.Window
@@ -399,15 +403,22 @@ object Relational4 extends QueryModule {
         t(s, dir, "lineitem")
           .filter(col("l_shipdate") >= lit("1995-01-01") &&
             col("l_shipdate") < lit("1997-01-01"))
+          // scaled-long revenue (suite-wide dsum policy, the q5/q1
+          // form): the old cast(DecimalType(18,4)) paid the ~267
+          // ns/value toString→BigDecimal route per filtered fact row
+          // (~200M at sf100) — the last per-row BigDecimal on a
+          // corpus-scale aggregate input (r12 verdict task 2)
           .select(col("l_orderkey"), col("l_suppkey"),
             year(col("l_shipdate")).cast("long").as("l_year"),
-            (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-              .cast(DecimalType(18, 4)).as("rev1"))
+            graft.functions.DoubleToScaledLong.of(
+              col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+              .as("rev1"))
           .join(supN, col("l_suppkey") === col("s_suppkey"))
           .join(ordN.hint("shuffle_hash"),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("s_nationkey"), col("c_nationkey"), col("l_year"))
-          .agg(sum(col("rev1")).cast("double").as("revenue"),
+          .agg(graft.functions.Dnum.lsumDec(col("rev1"), 4)
+              .cast("double").as("revenue"),
             count(lit(1)).as("n_items"))
           .join(broadcast(nation),
             col("s_nationkey") === col("n_nationkey"))

@@ -185,6 +185,27 @@ class CatalogSpec extends AnyFunSuite {
     assert(df.schema("weight").dataType.typeName == "double")
   }
 
+  test("seedCsv TIME column_types maps to Spark 4 TimeType (impl.py:207)") {
+    // The reference's convert_time_type declares agate TimeDelta seed
+    // columns as DuckDB TIME (impl.py:207). The graft dialect decision
+    // (r13): declared TIME maps to Spark 4.1's native TimeType — the
+    // CSV datasource rejects TIME schemas, so seedCsv parses the
+    // source text as string and casts post-read; the STORED parquet
+    // column is a real TIME(6) and reads back as one.
+    val cat = freshCatalog("seedtime")
+    val csv = Paths.get(cat.database, "shifts.csv")
+    Files.writeString(csv, "id,start\n1,09:15:00\n2,23:59:59\n")
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    cat.seedCsv("", "shifts", csv.toString,
+      Map("start" -> org.apache.spark.sql.types.TimeType()))
+    val df = cat.table("", "shifts")
+    assert(df.schema("start").dataType.typeName.startsWith("time"),
+      s"declared TIME seed column stored as ${df.schema("start").dataType}")
+    val got = df.orderBy(col("id")).select(col("start").cast("string"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("09:15:00", "23:59:59"))
+  }
+
   test("rowsDifferent: identical and differing relations") {
     val cat = freshCatalog("diff")
     import spark.implicits._

@@ -33,6 +33,8 @@ object TailProf {
 
     def orders = spark.read.parquet(s"$sfDir/orders.parquet")
     def lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    def customer = spark.read.parquet(s"$sfDir/customer.parquet")
+    def events = spark.read.parquet(s"$sfDir/events.parquet")
 
     def q51cached = {
       val base = lineitem.filter(col("l_orderkey") <= 1500)
@@ -150,7 +152,128 @@ object TailProf {
           graft.functions.Dnum.dsum(col("o_totalprice"), 2)
             .as("sampled_total"))),
       "q51" -> (() => graft.SparkEntry.queries("q51_setops_all")(spark, sfDir)),
-      "q51c" -> (() => q51cached))
+      "q51c" -> (() => q51cached),
+
+      // ── r13 verdict task 3: never-isolated >2x tail (q9/q14/q15/q28)
+      // Floor arms expose the scan/agg each query sits on.
+      "q9" -> (() => graft.SparkEntry.queries("q9_topk")(spark, sfDir)),
+      // q9's scan floor: same 4 columns, no top-k
+      "o4" -> (() => orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderdate"))),
+      "q14" -> (() => graft.SparkEntry.queries("q14_union")(spark, sfDir)),
+      // q14 with ONE filtered scan cached, both unions fed from it
+      // (shipped form scans orders four times — the q51c pattern)
+      "q14c" -> (() => {
+        val base = orders.filter(col("o_orderstatus").isin("F", "O"))
+          .select(col("o_orderstatus").as("st"), col("o_custkey").as("key"))
+          .cache()
+        base.count()
+        val a = base.filter(col("st") === "F").select(col("key"))
+        val b = base.filter(col("st") === "O").select(col("key"))
+        val unionAll = a.union(b).agg(count(lit(1)).as("n_all"))
+        val unionDistinct = a.union(b).distinct()
+          .agg(count(lit(1)).as("n_distinct"))
+        unionAll.crossJoin(unionDistinct)
+      }),
+      // q14's scan floor: one pass over (status, custkey)
+      "o5" -> (() => orders.select(col("o_orderstatus"), col("o_custkey"))),
+      "q15" -> (() => graft.SparkEntry.queries("q15_setops")(spark, sfDir)),
+      // q15 with the two-year scan cached, both set-ops fed from it
+      "q15c" -> (() => {
+        val base = orders
+          .filter(col("o_orderdate") >= lit("1995-01-01") &&
+            col("o_orderdate") < lit("1997-01-01"))
+          .select(col("o_custkey"),
+            (col("o_orderdate") >= lit("1996-01-01")).as("y96"))
+          .cache()
+        base.count()
+        val y95 = base.filter(!col("y96")).select(col("o_custkey"))
+        val y96 = base.filter(col("y96")).select(col("o_custkey"))
+        val inter = y95.intersect(y96).agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("intersect"))
+        val exc = y95.except(y96).agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("except"))
+        inter.union(exc).select(col("op"), col("n")).orderBy(col("op"))
+      }),
+      "q28" -> (() => graft.SparkEntry.queries("q28_cte")(spark, sfDir)),
+      // q28's aggregate floor: the 15M-group custrev subtree alone
+      "q28agg" -> (() => orders.groupBy(col("o_custkey"))
+        .agg(graft.functions.Dnum.dsum(col("o_totalprice"), 2).as("rev"))),
+
+      // ── r13 verdict task 7: q63 pointer-jumping A/B. The shipped
+      // WITH RECURSIVE runs one Spark job per recursion LEVEL (8 at
+      // sf100); this arm resolves every node to its root in
+      // ceil(log2(depth)) = 4 doubling self-joins. Roots (c < 10) map
+      // to themselves at distance 0, so the join stays total and
+      // finalized rows pass through unchanged.
+      "q63" -> (() =>
+        graft.SparkEntry.queries("q63_recursive_cte")(spark, sfDir)),
+      "q63pj" -> (() => {
+        val c0 = customer.select(col("c_custkey").cast("long").as("c"))
+        var t = c0.select(col("c"),
+          when(col("c") < 10, col("c"))
+            .otherwise((col("c") / 10).cast("long")).as("a"),
+          when(col("c") < 10, lit(0L)).otherwise(lit(1L)).as("d"))
+        for (_ <- 1 to 4) {
+          val j = t.select(col("c").as("jc"), col("a").as("ja"),
+            col("d").as("jd"))
+          t = t.join(j, col("a") === col("jc"))
+            .select(col("c"), col("ja").as("a"),
+              (col("d") + col("jd")).as("d"))
+        }
+        t.groupBy(col("d").as("depth"))
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("key_sum"))
+          .orderBy(col("depth"))
+      }),
+
+      // ── r13 verdict task 6: q68b decomposition. Which part of the
+      // 36.5 s sf100 row is floor vs avoidable?
+      "q68b" -> (() =>
+        graft.SparkEntry.queries("q68b_variant_multi")(spark, sfDir)),
+      // construction floor: build the JSON bytes, no parse
+      "q68bconcat" -> (() => events.select(concat(
+          lit("{\"id\":"), col("event_id"),
+          lit(",\"ty\":\""), col("event_type"),
+          lit("\",\"u\":"), col("user_id"),
+          lit(",\"fv\":"), floor(col("value")).cast("long"),
+          lit(",\"p\":"), col("props"),
+          lit("}")).as("js"))
+        .agg(sum(octet_length(col("js"))).as("b"))),
+      // parse floor: construct + try_parse_json + ONE extraction
+      "q68bparse" -> (() => events.select(try_parse_json(concat(
+          lit("{\"id\":"), col("event_id"),
+          lit(",\"ty\":\""), col("event_type"),
+          lit("\",\"u\":"), col("user_id"),
+          lit(",\"fv\":"), floor(col("value")).cast("long"),
+          lit(",\"p\":"), col("props"),
+          lit("}"))).as("v"))
+        .select(expr("variant_get(v, '$.id', 'bigint')").as("id"))
+        .agg(sum(col("id")).as("id_sum"))),
+      // multi-eval probe: materialize the parsed variant through an
+      // exchange so the parse provably runs once, then extract 5
+      "q68bx" -> (() => {
+        val parsed = events.select(try_parse_json(concat(
+            lit("{\"id\":"), col("event_id"),
+            lit(",\"ty\":\""), col("event_type"),
+            lit("\",\"u\":"), col("user_id"),
+            lit(",\"fv\":"), floor(col("value")).cast("long"),
+            lit(",\"p\":"), col("props"),
+            lit("}"))).as("v"))
+          .repartition(32)
+        parsed.select(
+            expr("variant_get(v, '$.ty', 'string')").as("ty"),
+            expr("variant_get(v, '$.id', 'bigint')").as("id"),
+            expr("variant_get(v, '$.u', 'bigint')").as("u"),
+            expr("variant_get(v, '$.fv', 'bigint')").as("fv"),
+            expr("variant_get(v, '$.p.k', 'bigint')").as("k"))
+          .groupBy(col("ty"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("id")).as("id_sum"),
+            sum(col("u")).as("u_sum"),
+            sum(col("fv")).as("fv_sum"),
+            sum(col("k")).as("k_sum"))
+          .orderBy(col("ty"))
+      }))
 
     val names = if (args.nonEmpty) args.toSeq else
       Seq("o3", "o2", "li1", "q58", "q55", "q50", "q50d", "q51", "q51c")

@@ -50,7 +50,7 @@ Query categories:
 
 Round-12 protocol notes:
 - Timing action is the FULL physical plan (`df.queryExecution.toRdd
-  .count()`, since r11): Catalyst cannot prune aggregate inputs or
+  .count()`, since r10): Catalyst cannot prune aggregate inputs or
   windows out of the timed work, matching what DuckDB executes for
   the same SQL. r1-r9 rows used `count()` and are not comparable.
 - The sandbox VM is a shared-host guest whose effective core count
@@ -62,7 +62,9 @@ Round-12 protocol notes:
   when the canary trail says quiet.
 - NEW r12: after each leg pair an auto-isolate pass
   (tools/isolate_flagged.py) re-measures every flagged key (leg
-  spread > 2 at >= 1 s, ratio > 3x at >= 2 s, or force-listed) in
+  spread > 2 at >= 1 s, ratio > 3x at >= 2 s, or force-listed —
+  force-listed keys are isolated only when the leg median is
+  >= 1 s, so a sub-second forced key keeps its leg-only row) in
   its own fresh JVM — untimed warm-up + 3-run median, same
   full-plan action. Flagged rows publish BOTH columns; the leg row
   is never replaced. r11 evidence: q1 27.1 s leg vs 5.4 s isolated,
