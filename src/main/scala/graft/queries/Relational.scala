@@ -318,13 +318,20 @@ object Relational extends QueryModule {
         ORDER BY o_orderstatus, o_orderpriority""")),
 
     // ─── q9: global top-k with deterministic tiebreak ───
+    // date_format is applied ABOVE the limit: formatted below it, the
+    // Project sits under TakeOrderedAndProject and the per-row
+    // formatter runs on the whole corpus (150M evals at sf100 for 10
+    // output rows — r13 plan audit); above it, the top-k carries the
+    // raw timestamp and the formatter touches 10 rows.
     "q9_topk" -> Q(
       (s, dir) => {
         t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+            col("o_orderdate"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
           .limit(10)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
       },
       Some("""SELECT o_orderkey, o_custkey, o_totalprice,
           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
