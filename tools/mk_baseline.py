@@ -76,6 +76,28 @@ Round-12 protocol notes:
   the DuckDB timing replay at protocol SFs (they appear as Spark-only
   keys). s2's oracle is s1's brute-force SQL — an honest equivalent,
   since a SQL engine's only exact top-k is brute force.
+
+Round-13 leg provenance:
+- The sf100 / sf100c / sf10 leg pairs are the r12 protocol run's own
+  output (archived under bench_legs/r12/ with its canary trail): that
+  run completed those legs on r12-final code but was cut off mid-way
+  through the sf10 isolate pass and never reached sf1/sf0.1. r13
+  measured the two missing legs and the dropped sf10 isolate keys
+  with the identical method (tools/run_baseline_r13.sh,
+  /tmp/baseline_r13 + bench_legs/r13).
+- Three keys changed in r13 (q62 scaled-long revenue, q25 scaled-long
+  moments, q9 post-limit date formatting). Their sf100/sf10 LEG cells
+  are pre-change; their ISOLATED cells are fresh-JVM post-change
+  re-measurements (tools/merge_iso_r13.py names each override), so
+  for those three keys read the isolated column only. sf1/sf0.1 legs
+  ran entirely on post-change code.
+- q61_stream_join is PERMANENTLY annotated structurally
+  non-comparable: the oracle is a batch join replay while the Spark
+  side runs a real stateful stream-stream join (r10 RocksDB, r12
+  state-partition A/Bs both directions, and a batch-DataFrame
+  equivalent all measured no better; q67's 0.74x pins the ingest
+  shape). The ratio measures the oracle's shortcut, not a plan
+  defect.
 """
 
 
