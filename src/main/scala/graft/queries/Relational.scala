@@ -220,6 +220,19 @@ object Relational extends QueryModule {
           .select(col("c_custkey"), col("n_nationkey"))
           .cache()
         custA.count() // materialize: joins below plan on true size
+        // r13 bloom-prefilter A/B, REJECTED with numbers: ordA is ~10%
+        // selective over the 600M-row lineitem exchange, and Catalyst's
+        // runtime bloom can't fire here (the cached dims hide the
+        // selective filters from its scan-pattern match — verified with
+        // every threshold conf raised). A hand-planned probe-side bloom
+        // (org.apache.spark.util.sketch, fpp 0.01, driver-built from
+        // the cache+count) measured interleaved-in-one-JVM at sf100:
+        // bloomed 21.9/23.1 s vs plain 18.5/19.5 s — the probe's
+        // random access into an 18 MB sketch duplicates the cost the
+        // join's own hash probe pays anyway, so it only saves shuffle
+        // I/O that was not the bottleneck (decomposition: liF subtree
+        // 2.8 s + ordA subtree 3.4 s of 17.3 s; the residual is
+        // probe-bound, not exchange-bound). TailProf keeps the arms.
         val ordA = ord.select(col("o_orderkey"), col("o_custkey"))
           .join(custA, col("o_custkey") === col("c_custkey"))
           .select(col("o_orderkey"), col("n_nationkey"))

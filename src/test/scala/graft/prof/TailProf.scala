@@ -226,6 +226,58 @@ object TailProf {
           .orderBy(col("depth"))
       }),
 
+      // ── r13: runtime-bloom investigation, closed REJECTED.
+      // q5's orderkey join is ~10% selective over a 600M-row lineitem
+      // exchange. (1) Catalyst's InjectRuntimeFilter never fires for
+      // it — the cache+count-materialized dims are InMemoryRelation
+      // leaves with no visible filter-over-scan, verified at sf1/sf100
+      // with creationSideThreshold/maxNumItems/maxNumBits/
+      // applicationSideScanSizeThreshold all raised: zero injections.
+      // (2) A hand-planned probe-side bloom (stat.bloomFilter fpp 0.01
+      // over the cached ordA, a codegen mightContainLong predicate
+      // pushed to the lineitem scan) measured interleaved in one JVM
+      // at sf100: bloomed 21.94/23.06 s vs plain 18.50/19.48 s — the
+      // probe's random access into the 18 MB sketch duplicates the
+      // cost the join's own hash probe pays anyway, so it only saved
+      // shuffle I/O that was not the bottleneck. The helper was
+      // removed from src/main (it would be dead weight); this note +
+      // the decomposition arms below are the record.
+      "q5" -> (() => graft.SparkEntry.queries("q5_multijoin")(spark, sfDir)),
+      "q62" -> (() =>
+        graft.SparkEntry.queries("q62_nation_pairs")(spark, sfDir)),
+      // q5 decomposition: the liF subtree without the orderkey
+      // exchange (scan + supplier semi + scaled-long project), and the
+      // ordA subtree alone — what remains is the 600M-row exchange +
+      // join + 25-group agg.
+      "q5li" -> (() => {
+        val sup = spark.read.parquet(s"$sfDir/supplier.parquet")
+        lineitem
+          .join(sup.select(col("s_suppkey")),
+            col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .select(col("l_orderkey"),
+            graft.functions.DoubleToScaledLong.of(
+              col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+              .as("rev1"))
+          .agg(count(lit(1)).as("n"), sum(col("rev1")).as("s"))
+      }),
+      "q5ord" -> (() => {
+        val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+        val region = spark.read.parquet(s"$sfDir/region.parquet")
+          .filter(col("r_name") === "ASIA")
+        val asiaN = nation
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val custA = customer
+          .join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_nationkey"))
+        orders
+          .filter(col("o_orderdate") >= lit("1995-06-01") &&
+            col("o_orderdate") < lit("1999-01-01"))
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(custA, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("n_nationkey"))
+          .agg(count(lit(1)).as("n"))
+      }),
       // ── r13 verdict task 6: q68b decomposition. Which part of the
       // 36.5 s sf100 row is floor vs avoidable?
       "q68b" -> (() =>
