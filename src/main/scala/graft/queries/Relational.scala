@@ -126,11 +126,14 @@ object Relational extends QueryModule {
           .groupBy(col("l_orderkey"), col("o_orderdate"))
           .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
             .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+          // format ABOVE the limit (the q9 lesson, r13): below it the
+          // formatter runs on every one of the ~150M per-order
+          // aggregate rows; above it, on the 10 survivors
           .select(col("l_orderkey"),
             date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
             col("revenue"))
-          .orderBy(col("revenue").desc, col("l_orderkey"))
-          .limit(10)
       },
       Some(s"""SELECT l_orderkey,
           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
