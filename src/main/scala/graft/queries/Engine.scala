@@ -83,7 +83,7 @@ object Engine extends QueryModule {
         s.read.option("header", "true").option("inferSchema", "true").csv(out)
           .groupBy(col("p_type"))
           .agg(count(lit(1)).as("n"),
-            sum(col("p_retailprice").cast(DecimalType(18, 2))).cast("double")
+            graft.functions.Dnum.dsum(col("p_retailprice"), 2)
               .as("total_price"))
           .orderBy(col("p_type"))
       },
@@ -136,8 +136,7 @@ object Engine extends QueryModule {
           .filter(col("l_shipdate") >= lit("1997-01-01") &&
             col("l_shipdate") < lit("1997-07-01"))
           .agg(count(lit(1)).as("n"),
-            sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
-              .as("qty"))
+            graft.functions.Dnum.dsum(col("l_quantity"), 2).as("qty"))
       },
       Some(s"""SELECT count(*) AS n, ${dsumSql("l_quantity")} AS qty
         FROM lineitem
@@ -362,8 +361,7 @@ object Engine extends QueryModule {
         cat.table("", "ord_by_yr")
           .groupBy(col("yr").cast("long").as("yr"))
           .agg(count(lit(1)).as("n"),
-            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
-              .as("total"))
+            graft.functions.Dnum.dsum(col("o_totalprice"), 2).as("total"))
           .orderBy(col("yr"))
       },
       Some(s"""SELECT cast(year(o_orderdate) as bigint) AS yr, count(*) AS n,
@@ -599,8 +597,7 @@ object Engine extends QueryModule {
           .filter(col("yr").between(1996, 1997)) // partition pruning
           .groupBy(col("yr").cast("long").as("yr"))
           .agg(count(lit(1)).as("n"),
-            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
-              .as("total"))
+            graft.functions.Dnum.dsum(col("o_totalprice"), 2).as("total"))
           .orderBy(col("yr"))
       },
       Some(s"""SELECT cast(year(o_orderdate) as bigint) AS yr,

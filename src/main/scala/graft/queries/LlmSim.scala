@@ -114,7 +114,10 @@ object LlmSim extends QueryModule {
           col("best.embedding").as("embedding"))
       // exact decimal sums keep the mean independent of partitioning;
       // 12 integer digits so raw (unnormalized) embeddings up to 1e12
-      // cannot overflow the cast to null and silently skew the mean
+      // cannot overflow the cast to null and silently skew the mean.
+      // Stays OFF the dsum scaled-long policy: scale 12 exceeds
+      // lsumDec's exact-division cap (<= 6), and the input is the
+      // bounded k-means training sample, not a corpus scan
       val means = assigned
         .select(col("cent_id"),
           posexplode(col("embedding")).as(Seq("pos", "v")))

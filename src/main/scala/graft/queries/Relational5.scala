@@ -230,6 +230,9 @@ object Relational5 extends QueryModule {
           count_distinct(col("lang")).as("n_langs"),
           round((count(lit(1)) - count_distinct(col("sig")))
             .cast("double") / count(lit(1)), 6).as("dup_rate"),
+          // scale 9 exceeds lsumDec's exact-division cap (<= 6), so
+          // this sum stays on the decimal cast (documents-table
+          // volume, not a lineitem-class corpus scan)
           round(sum(col("alpha").cast(DecimalType(18, 9))).cast("double")
             / count(lit(1)), 6).as("mean_alpha"),
           round(sum(when(col("toks").between(5, 5000), 1L).otherwise(0L))
