@@ -278,6 +278,25 @@ object TailProf {
           .select(col("o_orderkey"), col("n_nationkey"))
           .agg(count(lit(1)).as("n"))
       }),
+      // ── r13: q27 split-aggregate A/B. The shipped form's
+      // RewriteDistinctAggregates Expand puts 3x the corpus (1.8B rows
+      // at sf100) through the partial aggregate; this arm runs each
+      // distinct as its own Expand-free single-distinct pass plus a
+      // map-side count, joined on the 4-row group key.
+      "q27split" -> (() => {
+        val base = lineitem.select(col("l_returnflag"), col("l_partkey"),
+          col("l_suppkey"))
+        val ndp = base.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("ndp"))
+        val nds = base.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_suppkey")).as("nds"))
+        val n = base.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"))
+        ndp.join(nds, Seq("l_returnflag")).join(n, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("ndp"), col("nds"), col("n"))
+          .orderBy(col("l_returnflag"))
+      }),
+
       // ── r13 verdict task 6: q68b decomposition. Which part of the
       // 36.5 s sf100 row is floor vs avoidable?
       "q68b" -> (() =>
