@@ -227,27 +227,31 @@ object LlmText extends QueryModule {
       }),
 
     // ─── t2: quality scoring ───
+    // Native one-pass QualityScanStats since r13: the previous form
+    // ran three corpus-wide regexp_replace passes, a split allocation,
+    // and an interpreted filter-lambda with per-word isInCollection —
+    // the t16 class the r11 ports missed because t2's 2.16x sat under
+    // the isolate threshold (28 s at sf100). Every counter the ratios
+    // derive from comes out of one compiled byte walk; semantics
+    // pinned field-by-field in the expression's scaladoc + spec.
     "t2_quality" -> Q(
       (s, dir) => {
-        val stopSql = stoplist
+        val qs = graft.functions.QualityScanStats
+          .of(col("text"), stoplist).as("qs")
         t(s, dir, "documents")
-          .withColumn("nrm", norm(col("text")))
-          .withColumn("words", split(col("nrm"), " "))
+          .select(col("doc_id"), qs)
           .select(col("doc_id"),
-            length(col("text")).cast("long").as("n_chars"),
-            size(col("words")).cast("long").as("n_words"),
-            (length(col("text")) -
-              length(regexp_replace(col("text"), "[.,;:!?]", "")))
-              .cast("long").as("n_punct"),
-            ((length(col("text")) -
-              length(regexp_replace(col("text"), "[.,;:!?]", "")))
-              .cast("double") / length(col("text"))).as("punct_ratio"),
-            (size(filter(col("words"), w => w.isInCollection(stopSql)))
-              .cast("double") / size(col("words"))).as("stop_ratio"),
-            (length(regexp_replace(lower(col("text")), "[^a-z]", ""))
-              .cast("double") / length(col("text"))).as("alpha_ratio"),
-            (length(regexp_replace(col("nrm"), " ", "")).cast("double") /
-              size(col("words"))).as("avg_word_len"))
+            col("qs.n_chars").as("n_chars"),
+            col("qs.n_words").as("n_words"),
+            col("qs.n_punct").as("n_punct"),
+            (col("qs.n_punct").cast("double") / col("qs.n_chars"))
+              .as("punct_ratio"),
+            (col("qs.n_stop").cast("double") / col("qs.n_words"))
+              .as("stop_ratio"),
+            (col("qs.n_alpha").cast("double") / col("qs.n_chars"))
+              .as("alpha_ratio"),
+            (col("qs.n_word_chars").cast("double") / col("qs.n_words"))
+              .as("avg_word_len"))
           .withColumn("quality",
             when(col("n_words").between(20, 80) && col("stop_ratio") > 0.05,
               "good")

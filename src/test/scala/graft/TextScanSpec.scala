@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{BlockWordStats, TokenCounts}
+import graft.functions.{BlockWordStats, QualityScanStats, TokenCounts}
 
 /** The codegen'd TokenCounts / BlockWordStats scans must be
   * result-identical to the regex/split/HOF compositions they replaced
@@ -60,6 +60,70 @@ class TextScanSpec extends AnyFunSuite {
     val matched = t14Native(docs)
       .join(t14Interp(docs), Seq("id", "n_words", "n_flagged")).count()
     assert(matched == n, s"BlockWordStats must agree on all $n docs")
+  }
+
+  /** The pre-r13 t2 counter arm, verbatim (ratios derive from these). */
+  private val stops = Seq("the", "data", "row", "line", "key", "value")
+
+  private def t2Interp(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("nrm", lower(trim(regexp_replace(col("s"), "\\s+", " "))))
+      .withColumn("words", split(col("nrm"), " "))
+      .select(col("id"),
+        length(col("s")).cast("long").as("n_chars"),
+        size(col("words")).cast("long").as("n_words"),
+        (length(col("s")) -
+          length(regexp_replace(col("s"), "[.,;:!?]", "")))
+          .cast("long").as("n_punct"),
+        size(filter(col("words"), w => w.isInCollection(stops)))
+          .cast("long").as("n_stop"),
+        length(regexp_replace(lower(col("s")), "[^a-z]", ""))
+          .cast("long").as("n_alpha"),
+        length(regexp_replace(col("nrm"), " ", ""))
+          .cast("long").as("n_word_chars"))
+
+  private def t2Native(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("id"), QualityScanStats.of(col("s"), stops).as("qs"))
+      .select(col("id"), col("qs.n_chars").as("n_chars"),
+        col("qs.n_words").as("n_words"), col("qs.n_punct").as("n_punct"),
+        col("qs.n_stop").as("n_stop"), col("qs.n_alpha").as("n_alpha"),
+        col("qs.n_word_chars").as("n_word_chars"))
+
+  test("QualityScanStats parity with the regex+HOF form on the corpus") {
+    val n = docs.count()
+    val matched = t2Native(docs)
+      .join(t2Interp(docs), Seq("id", "n_chars", "n_words", "n_punct",
+        "n_stop", "n_alpha", "n_word_chars")).count()
+    assert(matched == n, s"QualityScanStats must agree on all $n docs")
+  }
+
+  test("QualityScanStats edge cases") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("")),
+      (2L, Some("   ")),
+      (3L, Some("The data, ROW; the!! key?")),
+      (4L, Some("héllo wörld the 漢字.")),
+      (5L, Some("\tdata\n\nvalue\r x ")),
+      (6L, None: Option[String]),
+      (7L, Some("a.b,c;d:e!f?g")),
+      (8L, Some("THE THE the tHe thex"))).toDF("id", "s")
+    val present = df.filter(col("s").isNotNull)
+    val a = t2Native(present).orderBy(col("id")).collect()
+    val b = t2Interp(present).orderBy(col("id")).collect()
+    a.zip(b).foreach { case (x, y) =>
+      (1 to 6).foreach(i => assert(x.getLong(i) == y.getLong(i),
+        s"t2 field $i row ${x.getLong(0)}: ${x} vs ${y}"))
+    }
+    val nul = df.filter(col("id") === 6)
+      .select(QualityScanStats.of(col("s"), stops)).collect()(0)
+    assert(nul.isNullAt(0))
+    // known values: "The data, ROW; the!! key?" -> 5 runs; membership
+    // is the EXACT run lowercased, so only "The" matches "the" —
+    // "data," / "ROW;" / "the!!" / "key?" carry punctuation
+    val r3 = a(2)
+    assert(r3.getLong(2) == 5L, s"n_words: $r3")
+    assert(r3.getLong(4) == 1L, s"n_stop: $r3")
+    assert(r3.getLong(3) == 5L, s"n_punct: $r3") // , ; ! ! ?
   }
 
   test("edge cases: empties, mixed runs, case, multi-byte, null") {
