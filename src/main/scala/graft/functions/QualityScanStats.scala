@@ -42,7 +42,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - n_word_chars = length(regexp_replace(norm, " ", "")): the
   *     summed char length of all words (lowercasing is 1:1 on the
   *     corpus, so chars survive norm unchanged; counted as UTF-8
-  *     non-continuation bytes).
+  *     non-continuation bytes). Also = length(norm) - n_words + 1 —
+  *     the t11 mean-word-length numerator.
+  *   - max_word_chars = array_max(transform(split(norm, " "),
+  *     w => length(w))): the longest word's char count, 0 on
+  *     empty/whitespace-only input (split yields [""], length 0).
   */
 case class QualityScanStats(child: Expression, stopWords: Seq[String])
     extends UnaryExpression {
@@ -53,7 +57,8 @@ case class QualityScanStats(child: Expression, stopWords: Seq[String])
     StructField("n_punct", LongType, nullable = false),
     StructField("n_stop", LongType, nullable = false),
     StructField("n_alpha", LongType, nullable = false),
-    StructField("n_word_chars", LongType, nullable = false)))
+    StructField("n_word_chars", LongType, nullable = false),
+    StructField("max_word_chars", LongType, nullable = false)))
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -104,6 +109,8 @@ object QualityScanStats {
     var nStop = 0L
     var nAlpha = 0L
     var nWordChars = 0L
+    var maxWordChars = 0L
+    var runChars = 0L
     var runStart = -1
     var i = 0
     // one pass, one trailing virtual-whitespace step to close a run.
@@ -121,7 +128,10 @@ object QualityScanStats {
           b == '?') nPunct += 1
         val lb = lowerAscii(bytes(i)) & 0xFF
         if (lb >= 'a' && lb <= 'z') nAlpha += 1
-        if (isChar && !isWs(b)) nWordChars += 1
+        if (isChar && !isWs(b)) {
+          nWordChars += 1
+          runChars += 1
+        }
       }
       if (atEnd || isWs(b)) {
         if (runStart >= 0) {
@@ -141,6 +151,8 @@ object QualityScanStats {
             w += 1
           }
           if (matched) nStop += 1
+          if (runChars > maxWordChars) maxWordChars = runChars
+          runChars = 0L
           runStart = -1
         }
       } else if (runStart < 0) {
@@ -149,8 +161,8 @@ object QualityScanStats {
       i += 1
     }
     if (nWords == 0L) nWords = 1L
-    new GenericInternalRow(
-      Array[Any](nChars, nWords, nPunct, nStop, nAlpha, nWordChars))
+    new GenericInternalRow(Array[Any](
+      nChars, nWords, nPunct, nStop, nAlpha, nWordChars, maxWordChars))
   }
 
   /** Column-level API: `stopWords` must be lowercase ASCII. */

@@ -188,13 +188,16 @@ object LlmText extends QueryModule {
     // ─── t1: language-ID heuristic (stopword scoring) ───
     "t1_langid" -> Q(
       (s, dir) => {
-        val scored = langWords.foldLeft(
-          t(s, dir, "documents")
-            .withColumn("words", split(norm(col("text")), " "))) {
+        // Native per-language word-set counting since r13 (the t2/t14
+        // class): the interpreted filter-lambda ran 4x over every
+        // document's split array (14.2 s at sf100); BlockWordStats'
+        // compiled walk has identical run+membership semantics per its
+        // contract, one walk per language.
+        val scored = langWords.foldLeft(t(s, dir, "documents")) {
           case (df, (l, ws)) =>
             df.withColumn(s"score_$l",
-              size(filter(col("words"), w => w.isInCollection(ws)))
-                .cast("long"))
+              graft.functions.BlockWordStats.of(col("text"), ws)
+                .getField("n_flagged"))
         }
         scored.select(col("doc_id"), col("lang"),
             col("score_en"), col("score_de"), col("score_fr"), col("score_es"),
@@ -446,17 +449,21 @@ object LlmText extends QueryModule {
     "t11_gopher" -> Q(
       (s, dir) => {
         val stops = Seq("the", "a", "of", "and", "to", "in")
+        // Native one-pass scan since r13 (the t2 class): the previous
+        // form ran norm+split plus TWO interpreted lambdas (filter +
+        // transform/array_max) per document. QualityScanStats'
+        // n_word_chars IS length(nrm) - n_words + 1 (norm joins the
+        // words with single spaces), and max_word_chars is the
+        // array_max(transform(...)) — semantics pinned in its
+        // scaladoc + TextScanSpec.
         t(s, dir, "documents")
-          .withColumn("nrm", norm(col("text")))
-          .withColumn("words", split(col("nrm"), " "))
           .select(col("doc_id"),
-            size(col("words")).cast("long").as("n_words"),
-            (length(col("nrm")) - size(col("words")) + 1).cast("long")
-              .as("n_chars_words"),
-            size(filter(col("words"), w => w.isInCollection(stops)))
-              .cast("long").as("stop_count"),
-            array_max(transform(col("words"), w => length(w)))
-              .cast("long").as("max_word_len"))
+            graft.functions.QualityScanStats.of(col("text"), stops).as("qs"))
+          .select(col("doc_id"),
+            col("qs.n_words").as("n_words"),
+            col("qs.n_word_chars").as("n_chars_words"),
+            col("qs.n_stop").as("stop_count"),
+            col("qs.max_word_chars").as("max_word_len"))
           .select(col("doc_id"), col("n_words"), col("stop_count"),
             col("max_word_len"),
             (col("n_chars_words").cast("double") /

@@ -79,20 +79,28 @@ class TextScanSpec extends AnyFunSuite {
         length(regexp_replace(lower(col("s")), "[^a-z]", ""))
           .cast("long").as("n_alpha"),
         length(regexp_replace(col("nrm"), " ", ""))
-          .cast("long").as("n_word_chars"))
+          .cast("long").as("n_word_chars"),
+        array_max(transform(col("words"), w => length(w)))
+          .cast("long").as("max_word_chars"),
+        // the t11 numerator identity: n_word_chars via nrm arithmetic
+        (length(col("nrm")) - size(col("words")) + 1).cast("long")
+          .as("n_word_chars_t11"))
 
   private def t2Native(df: org.apache.spark.sql.DataFrame) =
     df.select(col("id"), QualityScanStats.of(col("s"), stops).as("qs"))
       .select(col("id"), col("qs.n_chars").as("n_chars"),
         col("qs.n_words").as("n_words"), col("qs.n_punct").as("n_punct"),
         col("qs.n_stop").as("n_stop"), col("qs.n_alpha").as("n_alpha"),
-        col("qs.n_word_chars").as("n_word_chars"))
+        col("qs.n_word_chars").as("n_word_chars"),
+        col("qs.max_word_chars").as("max_word_chars"),
+        col("qs.n_word_chars").as("n_word_chars_t11"))
 
   test("QualityScanStats parity with the regex+HOF form on the corpus") {
     val n = docs.count()
     val matched = t2Native(docs)
       .join(t2Interp(docs), Seq("id", "n_chars", "n_words", "n_punct",
-        "n_stop", "n_alpha", "n_word_chars")).count()
+        "n_stop", "n_alpha", "n_word_chars", "max_word_chars",
+        "n_word_chars_t11")).count()
     assert(matched == n, s"QualityScanStats must agree on all $n docs")
   }
 
@@ -111,7 +119,7 @@ class TextScanSpec extends AnyFunSuite {
     val a = t2Native(present).orderBy(col("id")).collect()
     val b = t2Interp(present).orderBy(col("id")).collect()
     a.zip(b).foreach { case (x, y) =>
-      (1 to 6).foreach(i => assert(x.getLong(i) == y.getLong(i),
+      (1 to 8).foreach(i => assert(x.getLong(i) == y.getLong(i),
         s"t2 field $i row ${x.getLong(0)}: ${x} vs ${y}"))
     }
     val nul = df.filter(col("id") === 6)
