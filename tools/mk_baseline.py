@@ -85,12 +85,16 @@ Round-13 leg provenance:
   measured the two missing legs and the dropped sf10 isolate keys
   with the identical method (tools/run_baseline_r13.sh,
   /tmp/baseline_r13 + bench_legs/r13).
-- Three keys changed in r13 (q62 scaled-long revenue, q25 scaled-long
-  moments, q9 post-limit date formatting). Their sf100/sf10 LEG cells
-  are pre-change; their ISOLATED cells are fresh-JVM post-change
-  re-measurements (tools/merge_iso_r13.py names each override), so
-  for those three keys read the isolated column only. sf1/sf0.1 legs
-  ran entirely on post-change code.
+- Keys changed in r13: q62 + q25 (scaled-long aggregates), q9 + q3
+  (post-limit date formatting), q27 (Expand-free split aggregates),
+  t1 + t2 + t11 (native word-set scans), and four c_ gate
+  verification sums. Their sf100/sf10 LEG cells (and t-keys' sf1
+  cells) are pre-change; their ISOLATED cells are fresh-JVM
+  post-change re-measurements (tools/merge_iso_r13.py names each
+  override) — for changed keys read the isolated column only.
+  sf0.1 legs ran after the first change batch; the isolate method is
+  ONE fresh JVM per key (a same-JVM 5-key batch re-check measured
+  q27 20.8 vs 15.6 isolated — cross-key JVM pollution is real).
 - q61_stream_join is PERMANENTLY annotated structurally
   non-comparable: the oracle is a batch join replay while the Spark
   side runs a real stateful stream-stream join (r10 RocksDB, r12
