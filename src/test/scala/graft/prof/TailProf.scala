@@ -320,6 +320,31 @@ object TailProf {
           lit("}"))).as("v"))
         .select(expr("variant_get(v, '$.id', 'bigint')").as("id"))
         .agg(sum(col("id")).as("id_sum"))),
+      // known-schema comparison: from_json into a typed struct (what a
+      // user with a fixed schema would write) — isolates the variant
+      // ENCODE tax from the JSON tokenizer cost
+      "q68bfj" -> (() => {
+        val js = concat(
+          lit("{\"id\":"), col("event_id"),
+          lit(",\"ty\":\""), col("event_type"),
+          lit("\",\"u\":"), col("user_id"),
+          lit(",\"fv\":"), floor(col("value")).cast("long"),
+          lit(",\"p\":"), col("props"),
+          lit("}"))
+        val sch = "id BIGINT, ty STRING, u BIGINT, fv BIGINT, p STRUCT<k: BIGINT>"
+        events.select(from_json(js, org.apache.spark.sql.types.StructType
+            .fromDDL(sch)).as("j"))
+          .select(col("j.ty").as("ty"), col("j.id").as("id"),
+            col("j.u").as("u"), col("j.fv").as("fv"),
+            col("j.p.k").as("k"))
+          .groupBy(col("ty"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("id")).as("id_sum"),
+            sum(col("u")).as("u_sum"),
+            sum(col("fv")).as("fv_sum"),
+            sum(col("k")).as("k_sum"))
+          .orderBy(col("ty"))
+      }),
       // multi-eval probe: materialize the parsed variant through an
       // exchange so the parse provably runs once, then extract 5
       "q68bx" -> (() => {
