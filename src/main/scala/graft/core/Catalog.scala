@@ -639,7 +639,17 @@ final class Catalog(val spark: SparkSession, val database: String) {
     val timeCols = columnTypes.collect {
       case (n, t: org.apache.spark.sql.types.TimeType) => (n, t)
     }
-    if (timeCols.nonEmpty) spark.conf.set("spark.sql.timeType.enabled", "true")
+    // The TimeType feature flag is set for the SESSION, deliberately
+    // not save-and-restored (ADVICE r13 suggested restoring; measured
+    // and rejected): DataSourceUtils.verifySchema rejects TimeType in
+    // any datasource schema while the flag is off, so restoring a
+    // false/default value would make the very table this call just
+    // seeded unreadable (AnalysisException UNSUPPORTED_TIME_TYPE on
+    // the next read — CatalogSpec reproduced it live). A session that
+    // declares a TIME seed column has opted into TIME relations; the
+    // flag is that opt-in. CatalogSpec pins read-back-after-seed.
+    val timeConfKey = "spark.sql.timeType.enabled"
+    if (timeCols.nonEmpty) spark.conf.set(timeConfKey, "true")
     val readTypes = columnTypes.map {
       case (n, _: org.apache.spark.sql.types.TimeType) =>
         (n, StringType: DataType)
@@ -662,6 +672,20 @@ final class Catalog(val spark: SparkSession, val database: String) {
     }
     val df = timeCols.foldLeft(raw) { case (d, (n, t)) =>
       d.withColumn(n, col(n).cast(t))
+    }
+    // Malformed time text must fail LOUDLY (reference parity: DuckDB's
+    // TIME conversion raises). Under Spark 4's default ANSI mode the
+    // cast below raises on its own, but under ansi=false it silently
+    // yields NULL — so a mode-independent try_cast validation pass
+    // runs FIRST (a seed is small by contract, one extra pass is
+    // free): any row where the source text is non-null but the cast
+    // nulls out is a conversion error, not a missing value.
+    timeCols.foreach { case (n, t) =>
+      val bad =
+        raw.filter(col(n).isNotNull && col(n).try_cast(t).isNull).count()
+      require(bad == 0,
+        s"seed '$tableName' column '$n': $bad value(s) are not valid " +
+          s"TIME text (reference TIME conversion would raise)")
     }
     createTableAs(schema, tableName, df)
   }

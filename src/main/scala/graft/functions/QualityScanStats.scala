@@ -47,6 +47,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - max_word_chars = array_max(transform(split(norm, " "),
   *     w => length(w))): the longest word's char count, 0 on
   *     empty/whitespace-only input (split yields [""], length 0).
+  *
+  * The corpus-ASCII caveat above is CHECKED, not just stated (ADVICE
+  * r13): CorpusInvariantSpec's data-quality gate asserts the documents
+  * corpus is pure single-byte ASCII at both gate scales, which
+  * subsumes "no char case-folds into [a-z]" (U+212A KELVIN SIGN,
+  * U+017F LATIN SMALL LETTER LONG S, U+0130 İ are all multibyte in
+  * UTF-8, so the octet_length == length assertion rejects them); a
+  * corpus regeneration that broke the assumption fails that spec
+  * loudly instead of skewing n_stop/n_alpha silently.
   */
 case class QualityScanStats(child: Expression, stopWords: Seq[String])
     extends UnaryExpression {

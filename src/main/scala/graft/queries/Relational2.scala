@@ -169,6 +169,16 @@ object Relational2 extends QueryModule {
         // ≤ 1e14); acctbal·custkey ≤ 1.5e11 at sf100 → s=2 (≤ 1.5e13,
         // headroom to ~sf10000); custkey² is integral and summed as a
         // raw-long split sum (lsumDec s=0), no decimal cast at all.
+        // SF ceilings per scale choice (ADVICE r13 — fail-loud beats
+        // silent wrap, so each bound is recorded): sx (s=4) and sxx
+        // (s=6) are SF-INVARIANT — acctbal's range is fixed by the
+        // generator, not the corpus size; sxy (s=2) overflows
+        // DoubleToScaledLong's ArithmeticException guard past
+        // custkey ≈ 1e14 ≈ sf7e8 at the current ~1.5e7·sf scale —
+        // far beyond the 100 TB point; syy's raw long·long square is
+        // the tightest: it wraps (silently, non-ANSI) past
+        // custkey ≈ 3.0e9 ≈ sf2e4, so a corpus beyond ~sf20000 must
+        // move syy onto a decimal product first.
         // The oracle's casts moved to the same scales, so both engines
         // round identical doubles identically — parity preserved, the
         // derived var/corr values shift only by the shared rounding.
@@ -272,11 +282,18 @@ object Relational2 extends QueryModule {
           .select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"))
         val ndp = base.groupBy(col("l_returnflag"))
           .agg(countDistinct(col("l_partkey")).as("ndp"))
-        val nds = base.groupBy(col("l_returnflag"))
+        val nds = base.groupBy(col("l_returnflag").as("flag_s"))
           .agg(countDistinct(col("l_suppkey")).as("nds"))
-        val n = base.groupBy(col("l_returnflag"))
+        val n = base.groupBy(col("l_returnflag").as("flag_n"))
           .agg(count(lit(1)).as("n"))
-        ndp.join(nds, Seq("l_returnflag")).join(n, Seq("l_returnflag"))
+        // null-safe joins (ADVICE r13): each per-distinct pass keeps a
+        // NULL group (GROUP BY retains it), but a plain equi-join on
+        // the flag would DROP that group — diverging from the oracle's
+        // single GROUP BY if the corpus ever grew NULL return flags.
+        // <=> matches the NULL rows; the 4-row key side makes the
+        // null-safe comparison free.
+        ndp.join(nds, col("l_returnflag") <=> col("flag_s"))
+          .join(n, col("l_returnflag") <=> col("flag_n"))
           .select(col("l_returnflag"), col("ndp"), col("nds"), col("n"))
           .orderBy(col("l_returnflag"))
       },

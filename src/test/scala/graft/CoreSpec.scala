@@ -206,6 +206,44 @@ class CatalogSpec extends AnyFunSuite {
     assert(got == Seq("09:15:00", "23:59:59"))
   }
 
+  test("seedCsv TIME: malformed text fails loudly, seeded table stays readable") {
+    // ADVICE r13: the reference's TIME conversion (DuckDB) RAISES on
+    // malformed time text; seedCsv must surface the conversion error
+    // (mode-independently — under ansi=false Spark's cast would null
+    // it silently), and the target must stay untouched. The suggested
+    // conf save-and-restore was measured and REJECTED: reading ANY
+    // TIME datasource schema requires spark.sql.timeType.enabled, so
+    // a restore makes the just-seeded table unreadable
+    // (UNSUPPORTED_TIME_TYPE) — the flag is the session's opt-in to
+    // TIME relations and stays set; this spec pins read-back.
+    val cat = freshCatalog("seedtimebad")
+    val key = "spark.sql.timeType.enabled"
+    val prior = spark.conf.getOption(key)
+    try {
+      spark.conf.unset(key)
+      val csv = Paths.get(cat.database, "badshifts.csv")
+      Files.writeString(csv, "id,start\n1,09:15:00\n2,not-a-time\n")
+      val e = intercept[IllegalArgumentException] {
+        cat.seedCsv("", "badshifts", csv.toString,
+          Map("start" -> org.apache.spark.sql.types.TimeType()))
+      }
+      assert(e.getMessage.contains("not valid TIME"))
+      // success path: seeded TIME table reads back in the same session
+      val ok = Paths.get(cat.database, "okshifts.csv")
+      Files.writeString(ok, "id,start\n1,09:15:00\n")
+      cat.seedCsv("", "okshifts", ok.toString,
+        Map("start" -> org.apache.spark.sql.types.TimeType()))
+      val df = cat.table("", "okshifts")
+      assert(df.schema("start").dataType.typeName.startsWith("time"))
+      assert(df.count() == 1)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("rowsDifferent: identical and differing relations") {
     val cat = freshCatalog("diff")
     import spark.implicits._
