@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -196,13 +197,46 @@ object LlmPipeline extends QueryModule {
     // deliberately mirrors.
     "t7_stratified_sample" -> Q(
       (s, dir) => {
-        val byLang = Window.partitionBy(col("lang"))
-        val w = byLang.orderBy(md5(col("text")), col("doc_id"))
-        t(s, dir, "documents")
-          .select(col("doc_id"), col("lang"),
-            row_number().over(w).cast("long").as("rn"),
-            count(lit(1)).over(byLang).as("n"))
-          .filter(col("rn") <= ceil(col("n") * 0.1))
+        // r14 rewrite (verdict task 4): the old form ranked EVERY row
+        // through one md5-order window sort per language — and with
+        // |langs| ≪ shuffle partitions the sort ran at |langs|-way
+        // parallelism over the whole corpus (the measured 2.6x floor
+        // at sf100). Threshold selection instead: (1) one narrow
+        // aggregate computes each language's row count and an
+        // OVERSHOT md5-threshold estimate — percentile_approx at 0.12
+        // with accuracy 10000 has a guaranteed rank error ≤ n/10000,
+        // so the estimate's true rank is ≥ 0.1199·n ≥ ceil(0.1·n) for
+        // every n (exact below the sketch's compression threshold) —
+        // the candidate band PROVABLY contains the true top-10%, no
+        // verify-and-retry arm needed; (2) only the ~12% of rows at
+        // or under the threshold enter the per-language rank window,
+        // which selects the exact ceil(10%) by (md5, doc_id) — the
+        // same rows the full sort produced, bit-for-bit. The md5
+        // prefix rides as a monotone 60-bit long (fixed-width
+        // lowercase hex: string order == numeric order), ties at the
+        // threshold are included by <=, and the |langs|-row stats
+        // join is a constant-cardinality broadcast. Interleaved
+        // fresh-JVM A/B at sf100 (canary 20.6-22.7/32): this form
+        // 5.35/3.07 s vs the full window 8.07/7.69 s — off the weak
+        // list (DuckDB 3.34 s → ~0.9-1.6x, was 2.6x).
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+        def hkey(c: Column): Column =
+          conv(substring(c, 1, 15), 16, 10).cast("long")
+        val stats = docs.groupBy(col("lang")).agg(
+            count(lit(1)).as("n"),
+            percentile_approx(hkey(col("h")), lit(0.12), lit(10000))
+              .as("thr"))
+          .select(col("lang").as("lang_s"),
+            ceil(col("n") * 0.1).as("k"), col("thr"))
+        val cand = docs.join(broadcast(stats),
+            col("lang") <=> col("lang_s"))
+          .filter(hkey(col("h")) <= col("thr"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("h"), col("doc_id"))
+        cand.select(col("doc_id"), col("lang"), col("k"),
+            row_number().over(w).cast("long").as("rn"))
+          .filter(col("rn") <= col("k"))
           .select(col("doc_id"), col("lang"))
           .orderBy(col("lang"), col("doc_id"))
       },
