@@ -313,9 +313,20 @@ object Relational2 extends QueryModule {
     // oracle recomputes the exact count and asserts the verdict true.
     // A broken HLL (or a silently swapped column) flips approx_ok and
     // goes red; the estimate is deterministic for fixed data. rsd=0.01
-    // (vs the 0.05 default, which lands 2.7% off at this cardinality):
-    // the sketch precision is the accuracy dial, the gate tolerance
-    // stays a meaningful 2%.
+    // justified by the r14 rsd-cost curve (Q27bProf, sf0.01→sf100):
+    // rsd 0.05 errs 2.4-7.2% — it FAILS the 2% verdict at every
+    // measured SF; 0.023 passes (0.88-1.8%) but with <10% headroom at
+    // sf10; 0.01 is comfortable (0.2-0.67%) and costs nothing
+    // measurable in this gate form (sf100 10.2 s at both 0.01 and
+    // 0.023 — the pre-dedup aggregate below, not the register width,
+    // is the floor). The HLL-only cost is also rsd-flat (direct
+    // single-level arm: 4.8 s at 0.05 vs 6.9 s at 0.01 vs DuckDB's
+    // 0.83 s sketch) — the ~8x operator gap is Spark's per-row HLL++
+    // update loop vs a vectorized sketch, an engine-library floor the
+    // precision dial cannot move. A split-gate form (exact pass ⋈
+    // direct-HLL pass, the q27 pattern) measured SLOWER than this
+    // two-level form (14.0-16.8 vs 10.2 s) — the shared pre-dedup
+    // pays for both outputs at once; rejected.
     //
     // Two-level aggregate (r11): `countDistinct + approx + count` in
     // ONE aggregate plans through RewriteDistinctAggregates' Expand,
