@@ -394,7 +394,19 @@ object Relational4 extends QueryModule {
         custN.count()
         // shuffle_hash, not sort-merge: neither side's custkey order
         // is reusable downstream (the next join keys on orderkey), so
-        // hashing the dim side beats sorting 150M orders rows
+        // hashing the dim side beats sorting 150M orders rows.
+        // Partition-fit bound (r14 sf300 spike, the one scale defect
+        // it found): the second hint's build side is THIS subtree's
+        // output — |orders| rows — so the per-partition hash build is
+        // ~|orders|/shuffle.partitions rows and must fit execution
+        // memory. At sf300 with the suite's static 32 partitions the
+        // build wants ~1 GB/partition and dies ("Can't acquire ...
+        // bytes to build hash relation"; AQE's skew split does not
+        // rescue uniformly oversized builds) — at 96 partitions the
+        // same plan runs (65 s). This is SURVEY §3's sizing rule made
+        // measurable: shuffle partitions scale with data (or with
+        // executors on a real cluster), and a pinned shuffle_hash on
+        // a corpus-x-corpus join is the shape that enforces it.
         val ordN = t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"))
           .join(custN.hint("shuffle_hash"),

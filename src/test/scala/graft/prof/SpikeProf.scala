@@ -20,9 +20,15 @@ import org.apache.spark.sql.SparkSession
 object SpikeProf {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, key) = args.take(2)
+    // SPARK_GRAFT_SHUFFLE: the sf300 follow-up arm — q62's
+    // shuffle_hash build exceeds per-partition execution memory at
+    // sf300 with the static 32 (measured: "Can't acquire 536870912
+    // bytes to build hash relation"), the live demonstration of the
+    // SURVEY §3 sizing rule that shuffle partitions scale with data
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
     val spark = graft.core.EngineDefaults(SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
