@@ -84,8 +84,15 @@ object StreamOps extends QueryModule {
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"),
-            sum(col("value").cast(DecimalType(18, 6))).cast("double")
-              .as("total_value"))
+            // suite dsum policy (r14 — found by the stream-vs-batch
+            // decomposition): the per-row cast(decimal(18,6)) route
+            // was the r11 bias class, never ported here because the
+            // key lives outside the relational modules. The scaled-
+            // long split sum is bit-identical to the cast route
+            // (DsumParitySpec) and works through the streaming state
+            // store like any sum (StreamEquivProf measures both
+            // batch-arm forms at sf100).
+            graft.functions.Dnum.dsum(col("value"), 6).as("total_value"))
         val qname = "graft_q39_sink"
         s.streams.active.filter(_.name == qname).foreach(_.stop())
         val query = agg.writeStream

@@ -38,12 +38,17 @@ object StreamEquivProf {
 
     def events = spark.read.parquet(s"$sfDir/events.parquet")
 
-    def q39Batch: DataFrame =
+    def q39Batch: DataFrame = q39BatchWith(
+      sum(col("value").cast(DecimalType(18, 6))).cast("double"))
+
+    // the r14 port's batch arm: the dsum scaled-long route
+    def q39BatchDsum: DataFrame =
+      q39BatchWith(graft.functions.Dnum.dsum(col("value"), 6))
+
+    def q39BatchWith(total: org.apache.spark.sql.Column): DataFrame =
       events
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(18, 6))).cast("double")
-            .as("total_value"))
+        .agg(count(lit(1)).as("n"), total.as("total_value"))
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
           col("event_type"), col("n"), col("total_value"))
@@ -77,6 +82,7 @@ object StreamEquivProf {
       "q39_stream" -> (() =>
         graft.SparkEntry.queries("q39_stream_window")(spark, sfDir)),
       "q39_batch" -> (() => q39Batch),
+      "q39_batch_dsum" -> (() => q39BatchDsum),
       "q67_stream" -> (() =>
         graft.SparkEntry.queries("q67_stream_merge")(spark, sfDir)),
       "q67_batch" -> (() => q67Batch))
