@@ -17,12 +17,21 @@ object Explain {
     // SPARK_GRAFT_SHUFFLE: decouple shuffle partition count from the
     // thread count (spill experiments at big SFs)
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = graft.core.EngineDefaults(SparkSession.builder()
+    // scale-aware AQE initial fan-out (r15) — same derivation as Bench,
+    // so isolated rows measure the same plans the protocol legs ran.
+    // An EXPLICIT SPARK_GRAFT_SHUFFLE pins both knobs instead (the
+    // spill/fan-out A/B contract: one number, no hidden override).
+    val base = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
-      .config("spark.ui.enabled", "false"))
+      .config("spark.ui.enabled", "false")
+    val spark = (if (sys.env.contains("SPARK_GRAFT_SHUFFLE"))
+        graft.core.EngineDefaults(base.config(
+          "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          shuffle))
+      else graft.core.EngineDefaults.scaled(base, sfDir, cpus.toInt))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // SPARK_GRAFT_EXTRA_CONF="k=v;k=v": ad-hoc optimizer-conf A/B runs

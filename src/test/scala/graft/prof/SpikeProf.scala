@@ -20,18 +20,25 @@ import org.apache.spark.sql.SparkSession
 object SpikeProf {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, key) = args.take(2)
-    // SPARK_GRAFT_SHUFFLE: the sf300 follow-up arm — q62's
-    // shuffle_hash build exceeds per-partition execution memory at
-    // sf300 with the static 32 (measured: "Can't acquire 536870912
-    // bytes to build hash relation"), the live demonstration of the
-    // SURVEY §3 sizing rule that shuffle partitions scale with data
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
-    val spark = graft.core.EngineDefaults(SparkSession.builder()
+    // Default: the engine's scale-aware fan-out (r15, EngineDefaults.
+    // initialShufflePartitions) — the spike re-run verifies q62's
+    // pinned shuffle_hash build survives sf300 with NO hand override
+    // (r14 with static 32: "Can't acquire 536870912 bytes to build
+    // hash relation"). SPARK_GRAFT_SHUFFLE pins BOTH knobs for
+    // regression arms (e.g. =32 reproduces the r14 failure).
+    val base = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false"))
-      .getOrCreate()
+      .config("spark.ui.enabled", "false")
+    val spark = (sys.env.get("SPARK_GRAFT_SHUFFLE") match {
+      case Some(shuffle) => graft.core.EngineDefaults(base
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config(
+          "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          shuffle))
+      case None => graft.core.EngineDefaults.scaled(
+        base.config("spark.sql.shuffle.partitions", "32"), sfDir, 32)
+    }).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val q = graft.SparkEntry.queries(key)
 
