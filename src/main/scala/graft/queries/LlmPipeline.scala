@@ -212,26 +212,44 @@ object LlmPipeline extends QueryModule {
         // or under the threshold enter the per-language rank window,
         // which selects the exact ceil(10%) by (md5, doc_id) — the
         // same rows the full sort produced, bit-for-bit. The md5
-        // prefix rides as a monotone 60-bit long (fixed-width
-        // lowercase hex: string order == numeric order), ties at the
-        // threshold are included by <=, and the |langs|-row stats
-        // join is a constant-cardinality broadcast. Interleaved
+        // prefix rides as a monotone 52-BIT long (fixed-width
+        // lowercase hex: string order == numeric order; 13 hex chars,
+        // NOT 15 — percentile_approx's sketch stores values as
+        // DOUBLES, so a 60-bit key silently rounds to the nearest
+        // representable and the returned threshold can land BELOW the
+        // true data value, dropping band rows; T7BandBoundSpec caught
+        // exactly that on 1-3-row strata. 52 bits round-trip a double
+        // exactly, and a shorter prefix only widens the band — prefix
+        // order is a monotone coarsening of full-h order, so the
+        // superset proof is unchanged). Ties at the threshold are
+        // included by <=, and the |langs|-row stats join is a
+        // constant-cardinality broadcast. Interleaved
         // fresh-JVM A/B at sf100 (canary 20.6-22.7/32): this form
         // 5.35/3.07 s vs the full window 8.07/7.69 s — off the weak
         // list (DuckDB 3.34 s → ~0.9-1.6x, was 2.6x).
         val docs = t(s, dir, "documents")
           .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
         def hkey(c: Column): Column =
-          conv(substring(c, 1, 15), 16, 10).cast("long")
+          conv(substring(c, 1, 13), 16, 10).cast("long")
         val stats = docs.groupBy(col("lang")).agg(
             count(lit(1)).as("n"),
             percentile_approx(hkey(col("h")), lit(0.12), lit(10000))
               .as("thr"))
           .select(col("lang").as("lang_s"),
             ceil(col("n") * 0.1).as("k"), col("thr"))
+        // NULL-text rows (md5(NULL) = NULL) are KEPT as candidates
+        // (ADVICE r14): the old full window ranked them first (Spark
+        // ASC = NULLS FIRST), so a threshold filter that dropped them
+        // would silently change the selection on a corpus that ever
+        // grew null text. The rank window below restores the exact
+        // old order. Oracle parity on such a corpus is a separate,
+        // pre-existing caveat — DuckDB's ORDER BY defaults NULLS
+        // LAST — pinned by CorpusInvariantSpec's non-null-text
+        // invariant, which this operator (old and new form alike)
+        // relies on.
         val cand = docs.join(broadcast(stats),
             col("lang") <=> col("lang_s"))
-          .filter(hkey(col("h")) <= col("thr"))
+          .filter(hkey(col("h")).isNull || hkey(col("h")) <= col("thr"))
         val w = Window.partitionBy(col("lang"))
           .orderBy(col("h"), col("doc_id"))
         cand.select(col("doc_id"), col("lang"), col("k"),
