@@ -20,20 +20,66 @@ import org.apache.spark.sql.SparkSession
   * indicator for the run.
   */
 object Bench {
+
+  /** Contention sentinel (r15, verdict task 3). BENCH_r14's 163 s
+    * total (vs r13's 89 s on mostly-unchanged code) was the round's
+    * own still-live protocol JVM stepping on the driver bench —
+    * unchanged keys blew up 20x and a turn went to re-litigating
+    * phantom regressions. Rather than refuse to start (the driver's
+    * bench run must never deadlock on a stray process), the run
+    * STAMPS what else was live: any non-ancestor JVM that looks like
+    * an sbt/graft process (forked bench JVMs carry an opaque
+    * `java @/tmp/sbt-args...` cmdline, so any sbt-launched java
+    * counts) and any DuckDB oracle replay. Peers are sampled at start
+    * and at end and unioned — a leg that starts mid-run still marks
+    * the output. `contended: 0` is the clean-room claim; readers of
+    * BENCH_r{N} treat anything else as non-comparable.
+    */
+  def liveGraftPeers(): Seq[String] = {
+    val self = {
+      val b = scala.collection.mutable.Set[Long]()
+      var h = ProcessHandle.current()
+      b += h.pid()
+      while (h.parent().isPresent) { h = h.parent().get(); b += h.pid() }
+      b.toSet
+    }
+    val procs = Option(new java.io.File("/proc").listFiles())
+      .getOrElse(Array.empty)
+    procs.toSeq.filter(f => f.getName.forall(_.isDigit)).flatMap { f =>
+      if (self.contains(f.getName.toLong)) None
+      else try {
+        val cmd = new String(java.nio.file.Files.readAllBytes(
+          f.toPath.resolve("cmdline"))).replace('\u0000', ' ').trim
+        val jvm = cmd.contains("java") &&
+          (cmd.contains("sbt") || cmd.contains("graft"))
+        val oracle = cmd.contains("python") && cmd.contains("duckdb")
+        if (jvm || oracle) Some(s"${f.getName}: ${cmd.take(120)}")
+        else None
+      } catch { case _: Throwable => None }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
-    val spark = graft.core.EngineDefaults(SparkSession.builder()
+    val peersAtStart = liveGraftPeers()
+    // scale-aware initial fan-out (r15): shuffle.partitions stays the
+    // static core count (streaming state stores and any non-adaptive
+    // path keep their round-over-round layout), but the AQE initial
+    // partition number derives from the input dir's bytes so pinned
+    // shuffle_hash builds fit execution memory at ANY SF — see
+    // EngineDefaults.initialShufflePartitions
+    val spark = graft.core.EngineDefaults.scaled(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus), sfDir, cpus.toInt)
       .config("spark.sql.session.timeZone", "UTC")
       // default 100-entry codegen class cache evicts between the
       // warm-up and measured passes with ~90 queries in flight,
       // re-paying multi-second janino compiles for the widest plans
       .config("spark.sql.codegen.cache.maxEntries", "10000")
-      .config("spark.ui.enabled", "false"))
+      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // SPARK_GRAFT_EXTRA_CONF="k=v;k=v": ad-hoc optimizer-conf A/B runs
@@ -143,7 +189,11 @@ object Bench {
     // this; at 125 queries it is ~5 KB and cannot fit the driver's
     // 2000-char stdout tail window, which is why BENCH_r1..r8 all
     // carry "parsed": null).
-    val fullLine = s"""{"metric":"queries_full","value":$total,"unit":"sec","queries":$qs,"qspreads":$qspreads,"sf":"$sfDir","runs":$runs,"spread":$spread,"total_ok":$totalOk,"n_failed":${failed.size},"failed":$failedJson}"""
+    // contention stamp: peers sampled at start ∪ end (see liveGraftPeers)
+    val peers = (peersAtStart ++ liveGraftPeers()).distinct
+    val peersJson = peers.map(p => "\"" + p.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\"").mkString("[", ",", "]")
+    val fullLine = s"""{"metric":"queries_full","value":$total,"unit":"sec","queries":$qs,"qspreads":$qspreads,"sf":"$sfDir","runs":$runs,"spread":$spread,"total_ok":$totalOk,"n_failed":${failed.size},"failed":$failedJson,"contended":${peers.size},"peers":$peersJson}"""
     println(fullLine)
     // Headline line LAST and compact (≤ ~1.5 KB): aggregates plus the
     // 25 slowest queries at 3 decimals — everything a regression read
@@ -154,7 +204,7 @@ object Bench {
     def r3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     val slow = ok.sortBy(n => -med(n)).take(25)
       .map(n => "\"" + n + "\":" + r3(med(n))).mkString("{", ",", "}")
-    val headline = s"""{"metric":"total","value":$total,"unit":"sec","slowest":$slow,"n_queries":${names.size},"queries_shown":"25 slowest of ${names.size}; full map on queries_full line and in bench_full.json","sf":"$sfDir","runs":$runs,"spread":${r3(spread)},"total_ok":${r3(totalOk)},"n_failed":${failed.size},"failed":$failedJson}"""
+    val headline = s"""{"metric":"total","value":$total,"unit":"sec","slowest":$slow,"n_queries":${names.size},"queries_shown":"25 slowest of ${names.size}; full map on queries_full line and in bench_full.json","sf":"$sfDir","runs":$runs,"spread":${r3(spread)},"total_ok":${r3(totalOk)},"n_failed":${failed.size},"failed":$failedJson,"contended":${peers.size}}"""
     // Machine-parseable artifacts: stdout framing (sbt's [info]/[success]
     // wrappers) defeated tail-parsing for nine straight rounds, so the
     // same two JSON documents are also written as files in the CWD the
