@@ -680,12 +680,22 @@ final class Catalog(val spark: SparkSession, val database: String) {
     // runs FIRST (a seed is small by contract, one extra pass is
     // free): any row where the source text is non-null but the cast
     // nulls out is a conversion error, not a missing value.
-    timeCols.foreach { case (n, t) =>
-      val bad =
-        raw.filter(col(n).isNotNull && col(n).try_cast(t).isNull).count()
-      require(bad == 0,
-        s"seed '$tableName' column '$n': $bad value(s) are not valid " +
-          s"TIME text (reference TIME conversion would raise)")
+    // One validation pass for ALL declared TIME columns (ADVICE r14:
+    // the per-column count() paid one full CSV scan per column): a
+    // single aggregate of per-column bad counts.
+    if (timeCols.nonEmpty) {
+      val cols = timeCols.toSeq
+      val aggs = cols.map { case (n, t) =>
+        sum(when(col(n).isNotNull && col(n).try_cast(t).isNull, 1L)
+          .otherwise(0L)).as(n)
+      }
+      val counts = raw.agg(aggs.head, aggs.tail: _*).collect()(0)
+      cols.zipWithIndex.foreach { case ((n, _), i) =>
+        val bad = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+        require(bad == 0,
+          s"seed '$tableName' column '$n': $bad value(s) are not valid " +
+            s"TIME text (reference TIME conversion would raise)")
+      }
     }
     createTableAs(schema, tableName, df)
   }

@@ -102,6 +102,8 @@ object Q27bProf {
         case a @ "direct" => a -> (hllDirect _)
         case a @ "splitgate" => a -> (splitGate _)
         case a @ "shippedgate" => a -> (shippedGate _)
+        case other => sys.error(s"unknown arm: $other (want twolevel|" +
+          "direct|splitgate|shippedgate)")
       }
     for ((name, mk) <- arms; rsd <- Seq(0.05, 0.023, 0.01)) {
       mk(rsd).queryExecution.toRdd.count() // warm
