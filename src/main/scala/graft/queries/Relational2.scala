@@ -278,6 +278,16 @@ object Relational2 extends QueryModule {
         // 2.5 s at sf10 — fixed-width count buffers make the Expand
         // partial cheap there; the win here is not re-keying the
         // partial but never tripling the scan output at all).
+        // r15 (verdict task 5) — the shared-scan lever is also
+        // REJECTED, measured same-window at sf100 (Q27Prof): shipped
+        // 16.6/20.0 s; a cache()+count() shared base pays 26.1 s to
+        // materialize and its hot passes (17.9/18.7 s) are no faster
+        // than three pushed-down 3-column parquet rescans; fusing n
+        // into a two-level partkey pass is a wash (16.9/17.4 s) — the
+        // pass it saves is the map-side count, the cheapest of the
+        // three. A literal shared exchange is impossible: the passes
+        // hash on different keys, so storage is the only sharing
+        // point and it doesn't pay. Three rescans stay.
         val base = t(s, dir, "lineitem")
           .select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"))
         val ndp = base.groupBy(col("l_returnflag"))
