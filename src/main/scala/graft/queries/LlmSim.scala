@@ -336,18 +336,43 @@ object LlmSim extends QueryModule {
     */
   private def verifyJaccard(cands: DataFrame, tri: DataFrame,
       thresh: Double): DataFrame = {
-    val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // Single-execution shape (r15). The r8-r14 form evaluated its
+    // inputs far more often than it read: `cands` twice (once under
+    // the intersection joins, once as the left side of a left_outer
+    // re-attach) and the corpus-shingle subtree `tri` FOUR times (the
+    // a- and b-side intersection joins plus two per-doc size
+    // aggregates joined back on) — the subtrees shuffle on different
+    // keys, so ReuseExchange never fused any of them, and D4Prof
+    // measured the whole verify stage at ~4x the candidate DAG it
+    // feeds on. Two observations collapse it:
+    //   1. thresh > 0 (required below) means a pair with ZERO shared
+    //      shingles can never reach the output — the left_outer +
+    //      coalesce(ni, 0) generality only ever fed the filter a
+    //      jaccard of 0. Inner joins are equivalent and keep the
+    //      build-small-side freedom a left_outer denies.
+    //   2. Per-doc shingle counts can ride ALONG the shingle rows (one
+    //      window count per execution) instead of being re-aggregated
+    //      from scratch and joined back: every surviving group row
+    //      carries its side's size, so max() recovers it exactly.
+    // Net: cands 1x (was 2x), tri 2x (was 4x), joins all inner.
+    // Same counts, same jaccard arithmetic, same output set.
+    require(thresh > 0,
+      "verifyJaccard: inner-join form drops zero-intersection pairs, " +
+        "which is only equivalent for a strictly positive threshold")
+    val szW = Window.partitionBy(col("doc_id"))
+    val tri2 = tri.withColumn("n", count(lit(1)).over(szW))
     val inter = cands
-      .join(tri.select(col("doc_id").as("a"), col("sh")), "a")
-      .join(tri.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ni"))
-    cands.join(inter, Seq("a", "b"), "left_outer")
-      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .join(tri2.select(col("doc_id").as("a"), col("sh"),
+        col("n").as("na")), "a")
+      .join(tri2.select(col("doc_id").as("b"), col("sh"),
+        col("n").as("nb")), Seq("b", "sh"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("ni"), max(col("na")).as("na"),
+        max(col("nb")).as("nb"))
+    inter
       .select(col("a"), col("b"),
-        (coalesce(col("ni"), lit(0L)).cast("double") /
-          (col("na") + col("nb") - coalesce(col("ni"), lit(0L))))
-          .as("jaccard"))
+        (col("ni").cast("double") /
+          (col("na") + col("nb") - col("ni"))).as("jaccard"))
       .filter(col("jaccard") >= thresh)
       .orderBy(col("a"), col("b"))
   }
