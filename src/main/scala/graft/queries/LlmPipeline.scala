@@ -72,11 +72,18 @@ object LlmPipeline extends QueryModule {
         val batch = dupes.unionByName(novel)
           .filter(length(col("text")) >= 100) // quality floor
           .withColumn("sig", md5(nrm))
+        // r15: carry lang through the dedup aggregate (min_by rides the
+        // same exchange) instead of re-executing the whole batch
+        // subtree (two corpus-filter scans + md5) a second time for a
+        // join-back on doc_id. batch doc_ids are unique (disjoint
+        // +2M/+3M offsets), so min_by(lang, doc_id) is exactly the
+        // kept row's lang — same output, one batch execution and one
+        // join fewer.
         val batchKeep = batch
-          .groupBy(col("sig")).agg(min(col("doc_id")).as("doc_id"))
+          .groupBy(col("sig")).agg(min(col("doc_id")).as("doc_id"),
+            min_by(col("lang"), col("doc_id")).as("lang"))
         batchKeep
           .join(corpusSigs, Seq("sig"), "left_anti")
-          .join(batch.select(col("doc_id"), col("lang")), Seq("doc_id"))
           .select(col("doc_id"), col("lang"))
           .orderBy(col("doc_id"))
       },
@@ -354,7 +361,14 @@ object LlmPipeline extends QueryModule {
         // outgrows the threshold.
         val wf = toks.groupBy(col("w")).agg(count(lit(1)).as("wf")).cache()
         wf.count()
-        val total = toks.count()
+        // r15: the corpus token total is Σwf BY DEFINITION, and wf is
+        // already cached — the old `toks.count()` re-ran the full
+        // corpus scan + explode for a number the vocab table has.
+        // One cached vocab-sized aggregate instead of a corpus pass;
+        // exact integers, same value. (Distinct from the r9-rejected
+        // "fold the total out of the per-doc aggregate" arm, which
+        // recomputed the JOIN pipeline.)
+        val total = wf.agg(sum(col("wf"))).collect()(0).getLong(0)
         toks.join(wf, Seq("w"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_tok"), sum(col("wf")).as("sum_wf"))
