@@ -137,10 +137,15 @@ object LlmCluster extends QueryModule {
       (s, dir) => {
         val docs = t(s, dir, "documents")
           .select(col("doc_id"), norm(col("text")).as("nrm"))
+        // 16-byte binary sigs (r15; the d1 r11 convention): pfx/bag are
+        // only partition keys for the two window exchanges below — the
+        // 32-char hex strings shipped 2x the key bytes for identical
+        // grouping. unhex(md5) halves both exchanges' key payload.
         val keyed = docs.select(col("doc_id"),
-          md5(substring(col("nrm"), 1, 40)).as("pfx"),
-          md5(array_join(array_sort(array_distinct(split(col("nrm"), " "))),
-            " ")).as("bag"))
+          unhex(md5(substring(col("nrm"), 1, 40))).as("pfx"),
+          unhex(md5(array_join(
+            array_sort(array_distinct(split(col("nrm"), " "))),
+            " "))).as("bag"))
         // Contraction: every doc is directly connected to its prefix
         // group's min ("pfx root") and its bag group's min, so the
         // component structure survives collapsing each group to its

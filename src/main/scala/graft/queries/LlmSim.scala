@@ -419,9 +419,18 @@ object LlmSim extends QueryModule {
         val K = 3
         val W = 48
         val e = t(s, dir, "embeddings")
-        val reps = e.groupBy(col("embedding"))
-          .agg(min(col("vec_id")).as("vec_id"))
-          .select(col("vec_id"), col("embedding"))
+        // persisted (r15): reps is referenced FIVE times in this graph
+        // build (cell assignment + two embedding join-backs in each of
+        // the two scorePairs passes), each reference re-running the
+        // corpus groupBy(embedding). Lazy persist — the first job
+        // materializes it in-flight, no extra action wave — and the
+        // GateCache registration means the next s4/s4b invocation
+        // releases this copy (the d6 working-set pattern).
+        val reps = graft.queries.GateCache.swap("s4.reps",
+          e.groupBy(col("embedding"))
+            .agg(min(col("vec_id")).as("vec_id"))
+            .select(col("vec_id"), col("embedding"))
+            .persist())
         val centroids = trainCentroids(s,
           e.filter(col("vec_id") < 5000)
             .select(col("vec_id"), col("embedding")), k = 16, iters = 3)
