@@ -238,11 +238,21 @@ object Relational2 extends QueryModule {
     // ─── q26: exact interpolated percentiles ───
     "q26_percentiles" -> Q(
       (s, dir) => {
+        // ONE percentile buffer, not four (r15): exact percentile is a
+        // TypedImperativeAggregate whose buffer holds the whole
+        // per-group value-count map — four separate aggregate
+        // expressions (p25/p50/p75 + median, which IS
+        // percentile(0.5)) built, merged, and serialized four
+        // identical copies of that map through the exchange. The
+        // array-percentage form computes all three points from one
+        // buffer and one sort; p50 is reused for med. Same values:
+        // same counts map, same interpolation per point.
         t(s, dir, "orders").groupBy(col("o_orderstatus")).agg(
-          expr("percentile(o_totalprice, 0.25)").as("p25"),
-          expr("percentile(o_totalprice, 0.5)").as("p50"),
-          expr("percentile(o_totalprice, 0.75)").as("p75"),
-          expr("median(o_totalprice)").as("med"))
+          expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))")
+            .as("ps"))
+          .select(col("o_orderstatus"),
+            col("ps")(0).as("p25"), col("ps")(1).as("p50"),
+            col("ps")(2).as("p75"), col("ps")(1).as("med"))
           .orderBy(col("o_orderstatus"))
       },
       Some("""SELECT o_orderstatus,
