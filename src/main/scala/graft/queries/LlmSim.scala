@@ -86,7 +86,7 @@ object LlmSim extends QueryModule {
     * when `normalizeBy` is set the dot is divided by that column
     * (knnGraph/d11 rank cells by cosine, not raw dot).
     */
-  private def assignCells(df: DataFrame, vec: Column, nprobe: Int,
+  private[graft] def assignCells(df: DataFrame, vec: Column, nprobe: Int,
       cents: Seq[(Int, Seq[Float])],
       normalize: Boolean = false): DataFrame = {
     val scored = array(cents.map { case (cid, cv) =>
