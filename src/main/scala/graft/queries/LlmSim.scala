@@ -336,40 +336,36 @@ object LlmSim extends QueryModule {
     */
   private def verifyJaccard(cands: DataFrame, tri: DataFrame,
       thresh: Double): DataFrame = {
-    // Single-execution shape (r15). The r8-r14 form evaluated its
-    // inputs far more often than it read: `cands` twice (once under
-    // the intersection joins, once as the left side of a left_outer
-    // re-attach) and the corpus-shingle subtree `tri` FOUR times (the
-    // a- and b-side intersection joins plus two per-doc size
-    // aggregates joined back on) — the subtrees shuffle on different
-    // keys, so ReuseExchange never fused any of them, and D4Prof
-    // measured the whole verify stage at ~4x the candidate DAG it
-    // feeds on. Two observations collapse it:
-    //   1. thresh > 0 (required below) means a pair with ZERO shared
-    //      shingles can never reach the output — the left_outer +
-    //      coalesce(ni, 0) generality only ever fed the filter a
-    //      jaccard of 0. Inner joins are equivalent and keep the
-    //      build-small-side freedom a left_outer denies.
-    //   2. Per-doc shingle counts can ride ALONG the shingle rows (one
-    //      window count per execution) instead of being re-aggregated
-    //      from scratch and joined back: every surviving group row
-    //      carries its side's size, so max() recovers it exactly.
-    // Net: cands 1x (was 2x), tri 2x (was 4x), joins all inner.
-    // Same counts, same jaccard arithmetic, same output set.
+    // All-inner shape (r15; D4Prof-adjudicated across three arms at
+    // sf0.1/sf10/sf100). thresh > 0 (required below) means a pair
+    // with ZERO shared shingles can never reach the output, so the
+    // r8-r14 left_outer + coalesce(ni, 0) re-attach was dead
+    // generality — and an expensive one: a left_outer cannot build
+    // its left side, so the whole CANDIDATE DAG (bands/buckets,
+    // windows, distinct) executed a second time as the streamed side.
+    // With every join inner, `cands` executes once and its broadcast
+    // is reused. Two rejected variants, both measured:
+    //   - carrying per-doc sizes on the shingle rows via a window
+    //     count (tri 2x instead of 4x): the two full-row
+    //     Exchange+Sorts the window needs cost MORE than the two
+    //     saved shingle-subtree executions at every SF tried (d4
+    //     sf100 min-leg 14.3 s vs 9.2 s here; sf0.1 9.5 vs 8.0);
+    //   - semi-filtering the shingle stream to candidate docs before
+    //     the distinct: the extra materialization wave + raw-stream
+    //     probe lost at sf0.1 (d2 1.9 → 4.5 s) with no sf100 payback.
+    // Same counts, same jaccard arithmetic, same output set as r8.
     require(thresh > 0,
       "verifyJaccard: inner-join form drops zero-intersection pairs, " +
         "which is only equivalent for a strictly positive threshold")
-    val szW = Window.partitionBy(col("doc_id"))
-    val tri2 = tri.withColumn("n", count(lit(1)).over(szW))
+    val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cands
-      .join(tri2.select(col("doc_id").as("a"), col("sh"),
-        col("n").as("na")), "a")
-      .join(tri2.select(col("doc_id").as("b"), col("sh"),
-        col("n").as("nb")), Seq("b", "sh"))
+      .join(tri.select(col("doc_id").as("a"), col("sh")), "a")
+      .join(tri.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
       .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("ni"), max(col("na")).as("na"),
-        max(col("nb")).as("nb"))
+      .agg(count(lit(1)).as("ni"))
     inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
       .select(col("a"), col("b"),
         (col("ni").cast("double") /
           (col("na") + col("nb") - col("ni"))).as("jaccard"))
