@@ -626,8 +626,19 @@ final class Catalog(val spark: SparkSession, val database: String) {
             .parquet(path)
         }(ec)
       }
-      writes.foreach(f => scala.concurrent.Await.result(
-        f, scala.concurrent.duration.Duration.Inf))
+      try
+        writes.foreach(f => scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration.Inf))
+      catch { case e: Throwable =>
+        // failure barrier (ADVICE r15): without it the exception
+        // propagates (skipping register) while queued/running writes
+        // keep mutating the table path in background threads, racing
+        // any caller cleanup or retry. shutdownNow cancels the
+        // un-started jobs; the await drains the in-flight ones.
+        pool.shutdownNow()
+        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+        throw e
+      }
     } finally pool.shutdown()
     register(schema, tableName)
   }

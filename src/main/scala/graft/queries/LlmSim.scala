@@ -152,10 +152,16 @@ object LlmSim extends QueryModule {
       // old max_by form paid each iteration — greatest() over k
       // (d, -cent_id) structs is the same (d DESC, cent_id ASC) argmax
       // with zero data movement. Same dots, same tiebreak.
-      val best = greatest(cents.map { case (cid, cv) =>
+      // greatest() needs >= 2 args; with a single seed centroid the
+      // argmax is that centroid by definition (ADVICE r15 — the old
+      // max_by form handled k=1, this projection must too)
+      val centStructs = cents.map { case (cid, cv) =>
         struct(dotDec(col("embedding"), typedlit(cv)).as("d"),
           lit(-cid).as("neg_id"), lit(cid).as("cent_id"))
-      }: _*)
+      }
+      val best =
+        if (centStructs.size == 1) centStructs.head
+        else greatest(centStructs: _*)
       val assigned = e
         .select(best.getField("cent_id").as("cent_id"), col("embedding"))
       // exact decimal sums keep the mean independent of partitioning;
