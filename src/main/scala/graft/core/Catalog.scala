@@ -546,9 +546,26 @@ final class Catalog(val spark: SparkSession, val database: String) {
     * a 100 TB deployment runs after many small incremental writes (the
     * small-files problem). Same atomic tmp+rename swap as CTAS.
     */
-  def compact(schema: String, tableName: String, numFiles: Int): Unit =
+  /** `clusterCols` (r16, guide §6 "partitioning on write determines
+    * how well readers can skip data"): compaction already pays one
+    * full shuffle of the table; range-partitioning that same shuffle
+    * on the given columns (instead of round-robin) costs one extra
+    * sampling pass over the keys and buys each output FILE a narrow
+    * value range — every row group inherits it, so a downstream scan
+    * filtering on the cluster columns prunes to the few files whose
+    * range matches instead of reading the whole table. Deliberately
+    * NOT sorted within partitions: file-level ranges already give the
+    * pruning, and a measured sf10 A/B of the sorted variant cost a
+    * full-table wide-row sort (c_compact_cluster 47-53 s → 66-110 s)
+    * for row-group stats the partition-grained consumers never needed.
+    * Same row set, same file count either way.
+    */
+  def compact(schema: String, tableName: String, numFiles: Int,
+      clusterCols: Seq[String] = Nil): Unit =
     createTableAs(schema, tableName,
-      table(schema, tableName).repartition(numFiles))
+      if (clusterCols.isEmpty) table(schema, tableName).repartition(numFiles)
+      else table(schema, tableName)
+        .repartitionByRange(numFiles, clusterCols.map(col): _*))
 
   /** Materialize range-clustered on `clusterCols`: rows are range-
     * partitioned and sorted within partitions, so parquet row-group
@@ -611,8 +628,12 @@ final class Catalog(val spark: SparkSession, val database: String) {
     // place; a re-run overwrites only what it recomputes). Measured
     // same-window at sf0.1 (c_compact_cluster gate, 3-run median):
     // 10.04 s → 6.43 s.
+    // pool width (r16): GRAFT_CLUSTER_POOL overrides for sweeps; the
+    // default stays the r15-measured 3. Transient scratch is bounded
+    // by POOL partitions' footprint — still O(1) in table size.
+    val poolSize = sys.env.get("GRAFT_CLUSTER_POOL").map(_.toInt).getOrElse(3)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      3.min(jobs.size.max(1)))
+      poolSize.min(jobs.size.max(1)).max(1))
     try {
       val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
       val writes = jobs.map { pred =>

@@ -108,12 +108,23 @@ object Engine extends QueryModule {
         // repartition: the setup is not what the gate measures, and at
         // sf100 that third full-table shuffle's transient files were
         // ~13 GB of the disk budget per pass.
+        // r16: l_shipyear is materialized INTO li_frag (one int column)
+        // instead of derived per rewrite job, and the compaction pass —
+        // which already pays a full shuffle — range-clusters on ship
+        // date (guide §6). Effect: each of clusterPartitions' per-year
+        // jobs filters on a PHYSICAL column whose per-file min/max is
+        // now tight, so parquet row-group pruning reads ~1/7 of the
+        // table per job instead of scanning all 32 files seven times
+        // (the r15 plan's dominant read volume; only year-boundary
+        // files are read twice). Same rows, same 32-file assert, same
+        // clustered output, same final aggregate.
         val li = t(s, dir, "lineitem")
+          .withColumn("l_shipyear", year(col("l_shipdate")))
         val nRows = li.count()
         cat.withMaxRecordsPerFile((nRows / 96 + 1).max(1L)) {
           cat.createTableAs("", "li_frag", li)
         }
-        cat.compact("", "li_frag", 32)
+        cat.compact("", "li_frag", 32, clusterCols = Seq("l_shipdate"))
         assert(cat.fs.listStatus(cat.relationPath("", "li_frag"))
           .count(_.getPath.getName.endsWith(".parquet")) == 32,
           "compaction must leave 32 part files")
@@ -124,8 +135,7 @@ object Engine extends QueryModule {
         // at sf100 (the whole-table form needed ~65 GB scratch; its
         // path stays pinned by CoreSpec's clustered-write spec).
         cat.clusterPartitions("", "li_clustered",
-          cat.table("", "li_frag")
-            .withColumn("l_shipyear", year(col("l_shipdate"))),
+          cat.table("", "li_frag"),
           partCol = "l_shipyear", numFilesPerPart = 8,
           clusterCols = Seq("l_shipdate"))
         // The fragmented copy is dead once the clustered table exists;

@@ -457,10 +457,21 @@ object Relational extends QueryModule {
           .select(col("o_custkey").as("key"))
         val b = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
           .select(col("o_custkey").as("key"))
-        val unionAll = a.union(b).agg(count(lit(1)).as("n_all"))
-        val unionDistinct = a.union(b).distinct()
-          .agg(count(lit(1)).as("n_distinct"))
-        unionAll.crossJoin(unionDistinct)
+        // r16 (EPF, guide §2.4/§2.3): the old form executed a.union(b)
+        // twice — a count pass plus a distinct() exchange — four orders
+        // scans and two aggregations for two numbers that one per-key
+        // aggregate already knows: n_all = Σ per-key multiplicities,
+        // n_distinct = the group count. One union (two scans), ONE
+        // hash exchange (with map-side partial counts shuffling at
+        // most one row per key per map task — the same volume the
+        // distinct shipped), both outputs off the same pass. Values
+        // are identical by definition: count(*) over a bag = sum of
+        // its per-key counts; count(*) over distinct keys = number of
+        // groups.
+        val counts = a.union(b).groupBy(col("key"))
+          .agg(count(lit(1)).as("c"))
+        counts.agg(sum(col("c")).as("n_all"),
+          count(lit(1)).as("n_distinct"))
       },
       Some("""SELECT
           (SELECT count(*) FROM (
@@ -480,11 +491,39 @@ object Relational extends QueryModule {
           col("o_orderdate") < lit("1996-01-01")).select(col("o_custkey"))
         val y96 = ord.filter(col("o_orderdate") >= lit("1996-01-01") &&
           col("o_orderdate") < lit("1997-01-01")).select(col("o_custkey"))
-        val inter = y95.intersect(y96).agg(count(lit(1)).as("n"))
-          .withColumn("op", lit("intersect"))
-        val exc = y95.except(y96).agg(count(lit(1)).as("n"))
-          .withColumn("op", lit("except"))
-        inter.union(exc).select(col("op"), col("n")).orderBy(col("op"))
+        // r16 (EPF, guide §2.4): INTERSECT and EXCEPT each shuffled
+        // BOTH year slices (4 corpus-proportional exchange legs, 4
+        // orders scans). Both are per-key set predicates over the same
+        // two inputs, so ONE tagged union + per-key presence-flag
+        // aggregate answers both: a key is in the intersection iff it
+        // appeared under both tags, in the difference iff only under
+        // the 95 tag — exactly SQL set semantics (set ops are
+        // distinct-based, which the groupBy supplies). One exchange
+        // (map-side partial max flags — at most one row per key per
+        // map task, the same volume one set-op leg shipped), two scans,
+        // both counts off the same pass; the two output rows unfold
+        // from the single aggregate row with explode (no re-execution).
+        // Operator-coverage note (the r15 checklist's q14 concern):
+        // set-op DataFrame operators stay exercised by q51_setops_all
+        // (intersectAll/exceptAll over the bounded slice, where their
+        // cost is the capability's own); at THIS key's corpus scale
+        // the oracle semantics — not the operator — are the contract,
+        // and the flag aggregate is how a 100 TB engine should compute
+        // two set cardinalities over the same inputs.
+        val flags = y95.select(col("o_custkey"), lit(1).as("in95"),
+            lit(0).as("in96"))
+          .union(y96.select(col("o_custkey"), lit(0), lit(1)))
+          .groupBy(col("o_custkey"))
+          .agg(max(col("in95")).as("a95"), max(col("in96")).as("a96"))
+        flags.agg(
+            sum(when(col("a95") === 1 && col("a96") === 1, 1L)
+              .otherwise(0L)).as("n_inter"),
+            sum(when(col("a95") === 1 && col("a96") === 0, 1L)
+              .otherwise(0L)).as("n_exc"))
+          .select(explode(map(
+            lit("intersect"), col("n_inter"),
+            lit("except"), col("n_exc"))).as(Seq("op", "n")))
+          .orderBy(col("op"))
       },
       Some("""WITH y95 AS (SELECT o_custkey FROM orders
                WHERE o_orderdate >= timestamp '1995-01-01'
